@@ -1,0 +1,19 @@
+"""Pytest bootstrap: run the suite on a virtual 8-device CPU mesh.
+
+Real-TPU execution is exercised by bench.py and the driver's graft entry;
+the tests validate numerics (against the MuJoCo oracle, in float64) and
+multi-chip sharding (against 8 virtual CPU devices) without TPU hardware.
+
+Note: this environment preloads jax via sitecustomize, so env vars alone are
+too late — use jax.config.update before any backend is initialized.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,226 @@
+"""Differentiable rigid-body dynamics: the TPU replacement for mj_step.
+
+Replaces the reference's dynamics backend (robot_utils.cpp:100-160):
+- `mass_matrix`      composite M(q) via body Jacobians (CRB-equivalent)
+- `bias_forces`      Coriolis/centrifugal/gravity via a jvp through the
+                     body-velocity map (no hand-derived Christoffel terms)
+- `contact_forces`   smooth compliant point contact vs. the ground plane
+                     (stands in for MuJoCo's Newton/elliptic-cone solver,
+                     robot_utils.cpp:588-592 — see SURVEY §7 hard part 1)
+- `step`             MuJoCo-Euler-compatible semi-implicit integrator with
+                     implicit joint damping
+- `gravity_comp`     gravity/bias compensation torques (robot_utils.cpp:844-866;
+                     note the reference indexes qfrc_bias by *qpos* address,
+                     an off-by-one — we use the correct dof address, matching
+                     the driver's own fallback humanoid_mpc.cpp:157)
+
+Because `step` is pure jnp, `jax.jacfwd(step)` replaces the reference's
+1,775-serial-rollout finite-difference linearization (robot_utils.cpp:120-160)
+with one batched 70-tangent sweep.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mpc_ilqr_tpu.dynamics import math as qm
+from mpc_ilqr_tpu.dynamics.kinematics import (
+    KinFrames,
+    body_com_positions,
+    body_jacobians,
+    body_velocities,
+    forward_kinematics,
+)
+from mpc_ilqr_tpu.models.robot import JNT_FREE, JNT_HINGE, RobotModel
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def normalize_state(model: RobotModel, x: jnp.ndarray) -> jnp.ndarray:
+    """Normalize the free-joint quaternion inside x (mj_step does this
+    implicitly; keeps additive quaternion perturbations well-defined)."""
+    for i in range(model.nbody):
+        if model.body_jnt_type[i] == JNT_FREE:
+            a = model.body_qpos_adr[i]
+            quat = qm.quat_normalize(x[a + 3 : a + 7])
+            x = x.at[a + 3 : a + 7].set(quat)
+    return x
+
+
+def _world_inertias(model: RobotModel, fr: KinFrames) -> jnp.ndarray:
+    """Rotational inertia of each body about its CoM in world axes, (B,3,3)."""
+    Rin = jnp.matmul(fr.R, qm.quat_to_mat(model.body_iquat), precision=HIGHEST)  # (B,3,3)
+    return jnp.einsum("bij,bj,bkj->bik", Rin, model.body_inertia, Rin, precision=HIGHEST)
+
+
+def mass_matrix(model: RobotModel, fr: KinFrames) -> jnp.ndarray:
+    """Joint-space inertia matrix M(q) + armature, shape (nv, nv)."""
+    pc = body_com_positions(model, fr)
+    Jv, Jw = body_jacobians(model, fr, pc)  # (B,3,nv) each
+    Iw = _world_inertias(model, fr)
+    M = jnp.einsum("b,bik,bil->kl", model.body_mass, Jv, Jv, precision=HIGHEST)
+    M = M + jnp.einsum("bik,bij,bjl->kl", Jw, Iw, Jw, precision=HIGHEST)
+    return M + jnp.diag(model.dof_armature)
+
+
+def _qdot(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Time derivative of qpos given qvel (quaternion kinematics included)."""
+    qd = jnp.zeros_like(q)
+    for i in range(model.nbody):
+        jt = model.body_jnt_type[i]
+        a, d = model.body_qpos_adr[i], model.body_dof_adr[i]
+        if jt == JNT_FREE:
+            qd = qd.at[a : a + 3].set(v[d : d + 3])
+            quat = q[a + 3 : a + 7]
+            w_local = v[d + 3 : d + 6]
+            dq = 0.5 * qm.quat_mul(quat, jnp.concatenate([jnp.zeros(1, q.dtype), w_local]))
+            qd = qd.at[a + 3 : a + 7].set(dq)
+        elif jt == JNT_HINGE:
+            qd = qd.at[a].set(v[d])
+    return qd
+
+
+def bias_forces(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """qfrc_bias: Coriolis + centrifugal + gravity generalized forces.
+
+    Newton-Euler assembled from velocity-product accelerations obtained by a
+    single jvp of the body-velocity map along qdot — the AD analogue of RNEA.
+    M(q) v̇ + bias(q, v) = tau.
+    """
+
+    def vels(qq):
+        frq = forward_kinematics(model, qq)
+        om, vc = body_velocities(model, frq, v)
+        return om, vc
+
+    qd = _qdot(model, q, v)
+    (omega, _vc), (omega_dot, acc_c) = jax.jvp(vels, (q,), (qd,))
+
+    fr = forward_kinematics(model, q)
+    Iw = _world_inertias(model, fr)
+    pc = body_com_positions(model, fr)
+    Jv, Jw = body_jacobians(model, fr, pc)
+
+    f = model.body_mass[:, None] * (acc_c - model.gravity[None, :])  # (B,3)
+    Iw_omega = jnp.einsum("bij,bj->bi", Iw, omega, precision=HIGHEST)
+    n = jnp.einsum("bij,bj->bi", Iw, omega_dot, precision=HIGHEST) + jnp.cross(omega, Iw_omega)
+    return jnp.einsum("bik,bi->k", Jv, f, precision=HIGHEST) + jnp.einsum("bik,bi->k", Jw, n, precision=HIGHEST)
+
+
+def contact_terms(model: RobotModel, fr: KinFrames, v: jnp.ndarray, h):
+    """Smooth compliant contact of the sampled sole points vs. the z=0 plane.
+
+    Implicit treatment (the TPU analogue of MuJoCo's implicit Newton contact
+    solver, robot_utils.cpp:588-592): the elastic normal force k·φ goes on the
+    RHS, while normal damping, the h·k implicit-stiffness coupling, and
+    velocity-regularized Coulomb friction become per-contact damping matrices
+    folded into the (M + hC) velocity solve. Unconditionally stable at the
+    50 Hz control timestep and C^0-smooth in (q, v), so jacfwd through `step`
+    stays informative (SURVEY §7 hard part 2).
+
+    Returns (Jp (ncp,3,nv), f_el (ncp,3), c_diag (ncp,3), points_w (ncp,3)).
+    """
+    if model.ncp == 0:
+        z = jnp.zeros((0, 3), v.dtype)
+        return jnp.zeros((0, 3, model.nv), v.dtype), z, z, z
+    bidx = jnp.array(model.cp_body_idx)
+    pw = fr.p[bidx] + jnp.einsum("cij,cj->ci", fr.R[bidx], model.cp_pos, precision=HIGHEST)  # (ncp,3)
+
+    # Per-point linear Jacobians.
+    mask = model.ancestor_mask[bidx]  # (ncp, nv)
+    lin = fr.dof_linear
+    diff = pw[:, None, :] - fr.dof_anchor[None, :, :]
+    rot = jnp.cross(jnp.broadcast_to(fr.dof_axis, diff.shape), diff)
+    cols = lin[None, :, None] * fr.dof_axis[None] + (1.0 - lin)[None, :, None] * rot
+    Jp = jnp.swapaxes(cols * mask[:, :, None], -1, -2)  # (ncp, 3, nv)
+
+    vel = jnp.einsum("cij,j->ci", Jp, v, precision=HIGHEST)  # current contact-point velocity
+    depth = -pw[:, 2]
+    active = jnp.where(depth > 0.0, 1.0, 0.0).astype(v.dtype)
+    fn_el = model.contact_stiffness * depth * active
+    f_el = jnp.concatenate([jnp.zeros_like(vel[:, :2]), fn_el[:, None]], axis=-1)
+
+    # Implicit damping coefficients (world frame; plane normal = z).
+    vt = vel[:, :2]
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-6)
+    ct = model.contact_friction * fn_el / vt_norm  # stiction-like viscous
+    cn = model.contact_damping + h * model.contact_stiffness
+    c_diag = jnp.stack([ct, ct, jnp.broadcast_to(cn, ct.shape)], axis=-1) * active[:, None]
+    return Jp, f_el, c_diag, pw
+
+
+def contact_forces(model: RobotModel, x: jnp.ndarray):
+    """Diagnostic contact forces at state x: (forces (ncp,3), points (ncp,3)).
+
+    Effective force f = f_el - C·(J v) — what the integrator applies to first
+    order. Used by the contact-schedule generator (get_contacts.py analogue).
+    """
+    q, v = model.split_state(normalize_state(model, x))
+    fr = forward_kinematics(model, q)
+    Jp, f_el, c_diag, pw = contact_terms(model, fr, v, model.timestep)
+    vel = jnp.einsum("cij,j->ci", Jp, v, precision=HIGHEST)
+    return f_el - c_diag * vel, pw
+
+
+def applied_torques(model: RobotModel, u: jnp.ndarray) -> jnp.ndarray:
+    """Scatter actuator commands into the dof-space torque vector."""
+    tau = jnp.zeros(model.nv, dtype=u.dtype)
+    for i, d in enumerate(model.act_dof_adr):
+        tau = tau.at[d].add(model.act_gear[i] * u[i])
+    return tau
+
+
+def integrate_position(model: RobotModel, q: jnp.ndarray, v_next: jnp.ndarray, h) -> jnp.ndarray:
+    """Semi-implicit position update (uses the NEW velocity, like mj Euler)."""
+    qn = q
+    for i in range(model.nbody):
+        jt = model.body_jnt_type[i]
+        a, d = model.body_qpos_adr[i], model.body_dof_adr[i]
+        if jt == JNT_FREE:
+            qn = qn.at[a : a + 3].add(h * v_next[d : d + 3])
+            quat = qm.quat_integrate(q[a + 3 : a + 7], v_next[d + 3 : d + 6], h)
+            qn = qn.at[a + 3 : a + 7].set(quat)
+        elif jt == JNT_HINGE:
+            qn = qn.at[a].add(h * v_next[d])
+    return qn
+
+
+def step(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray, n_substeps: int = 1) -> jnp.ndarray:
+    """One control step of the dynamics: x_{t+1} = f(x_t, u_t).
+
+    Equivalent of RobotUtils::rolloutOneStep (robot_utils.cpp:106-117).
+    Joint damping and contact damping/stiffness integrate implicitly,
+    mirroring MuJoCo's Euler integrator + Newton contact solve:
+        (M + h D + h Jᵀ C J) v' = M v + h (tau_applied + Jᵀ f_el - bias)
+    """
+    h = model.timestep / n_substeps
+
+    def substep(x, _):
+        q, v = model.split_state(normalize_state(model, x))
+        fr = forward_kinematics(model, q)
+        M = mass_matrix(model, fr)
+        bias = bias_forces(model, q, v)
+        tau = applied_torques(model, u)
+        Jp, f_el, c_diag, _ = contact_terms(model, fr, v, h)
+        lhs = M + h * jnp.diag(model.dof_damping)
+        if model.ncp:
+            lhs = lhs + h * jnp.einsum("cik,ci,cil->kl", Jp, c_diag, Jp, precision=HIGHEST)
+            tau = tau + jnp.einsum("cik,ci->k", Jp, f_el, precision=HIGHEST)
+        rhs = jnp.matmul(M, v, precision=HIGHEST) + h * (tau - bias)
+        v_next = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(lhs), rhs)
+        q_next = integrate_position(model, q, v_next, h)
+        return jnp.concatenate([q_next, v_next]), None
+
+    if n_substeps == 1:
+        return substep(x, None)[0]
+    out, _ = jax.lax.scan(substep, x, None, length=n_substeps)
+    return out
+
+
+def gravity_comp(model: RobotModel, x: jnp.ndarray) -> jnp.ndarray:
+    """Actuator torques canceling qfrc_bias at the current state
+    (RobotUtils::computeGravComp, with correct dof addressing)."""
+    q, v = model.split_state(normalize_state(model, x))
+    bias = bias_forces(model, q, v)
+    idx = jnp.array(model.act_dof_adr)
+    return bias[idx] / model.act_gear

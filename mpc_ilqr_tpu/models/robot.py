@@ -1,0 +1,282 @@
+"""Frozen robot model pytree built from MJCF.
+
+Replaces the reference's mjModel + dual Pinocchio model (robot_utils.cpp:19-55,
+derivatives.cpp:26-59). All per-body quantities are stacked arrays so the
+whole model is a pytree: jit-able, vmap-able (fleet domain randomization just
+maps over `body_mass`, `gravity`, contact parameters, ...), and shard-able.
+
+Structure metadata (tree topology, dof layout, joint types) is static python
+so FK unrolls at trace time into pure array ops.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mpc_ilqr_tpu.models import mjcf as mjcf_mod
+from mpc_ilqr_tpu.models import stl
+
+# Default H1 asset locations (copied from the reference's robots/ tree —
+# model *data*, consumed as-is like the reference does via config.yaml).
+_REPO_ROOT = os.path.normpath(os.path.join(os.path.dirname(__file__), "..", ".."))
+H1_SCENE_XML = os.path.join(_REPO_ROOT, "robots", "h1_description", "mjcf", "scene.xml")
+
+JNT_FREE = "free"
+JNT_HINGE = "hinge"
+JNT_FIXED = "fixed"
+
+
+class RobotModel(struct.PyTreeNode):
+    # --- static structure (not traced) ---
+    name: str = struct.field(pytree_node=False)
+    nq: int = struct.field(pytree_node=False)
+    nv: int = struct.field(pytree_node=False)
+    nu: int = struct.field(pytree_node=False)
+    nbody: int = struct.field(pytree_node=False)
+    body_names: Tuple[str, ...] = struct.field(pytree_node=False)
+    body_parent: Tuple[int, ...] = struct.field(pytree_node=False)
+    body_jnt_type: Tuple[str, ...] = struct.field(pytree_node=False)
+    body_qpos_adr: Tuple[int, ...] = struct.field(pytree_node=False)
+    body_dof_adr: Tuple[int, ...] = struct.field(pytree_node=False)
+    joint_names: Tuple[str, ...] = struct.field(pytree_node=False)  # per body ("" if fixed)
+    act_dof_adr: Tuple[int, ...] = struct.field(pytree_node=False)  # dof index per actuator
+    ee_body_idx: Tuple[int, ...] = struct.field(pytree_node=False)  # end-effector bodies
+    cp_body_idx: Tuple[int, ...] = struct.field(pytree_node=False)  # contact-point bodies
+    limit_qpos_idx: Tuple[int, ...] = struct.field(pytree_node=False)  # limited hinge qpos
+    timestep: float = struct.field(pytree_node=False)
+
+    # --- traced arrays (domain-randomizable) ---
+    body_pos: jnp.ndarray  # (B, 3) frame offset in parent frame
+    body_quat: jnp.ndarray  # (B, 4) wxyz
+    body_ipos: jnp.ndarray  # (B, 3) inertial frame origin in body frame
+    body_iquat: jnp.ndarray  # (B, 4)
+    body_mass: jnp.ndarray  # (B,)
+    body_inertia: jnp.ndarray  # (B, 3) diagonal inertia in inertial frame
+    jnt_axis: jnp.ndarray  # (B, 3) hinge axis in body frame (unused rows = z)
+    jnt_pos: jnp.ndarray  # (B, 3) hinge anchor in body frame
+    dof_damping: jnp.ndarray  # (nv,)
+    dof_armature: jnp.ndarray  # (nv,)
+    ancestor_mask: jnp.ndarray  # (B, nv) 1.0 where dof k moves body b
+    act_gear: jnp.ndarray  # (nu,)
+    ctrl_range: jnp.ndarray  # (nu, 2)
+    limit_range: jnp.ndarray  # (n_limited, 2) hinge joint limits
+    gravity: jnp.ndarray  # (3,)
+    cp_pos: jnp.ndarray  # (ncp, 3) contact points in body frame
+    contact_stiffness: jnp.ndarray  # () N/m normal spring
+    contact_damping: jnp.ndarray  # () N·s/m normal damper
+    contact_friction: jnp.ndarray  # () Coulomb mu (smoothed)
+    key_qpos: jnp.ndarray  # (nq,) "home" keyframe (zeros if absent)
+
+    # Convenience ------------------------------------------------------------
+    @property
+    def nx(self) -> int:
+        return self.nq + self.nv
+
+    @property
+    def ncp(self) -> int:
+        return len(self.cp_body_idx)
+
+    def body_index(self, name: str) -> int:
+        return self.body_names.index(name)
+
+    def joint_dof_adr(self, joint_name: str) -> int:
+        b = self.joint_names.index(joint_name)
+        return self.body_dof_adr[b]
+
+    def split_state(self, x: jnp.ndarray):
+        return x[..., : self.nq], x[..., self.nq :]
+
+
+def load_robot(
+    xml_path: str,
+    ee_body_names: Tuple[str, ...] = (),
+    contact_stiffness: float = 3.0e4,
+    contact_damping: float = 3.0e3,
+    contact_friction: float = 1.0,
+    gravity: Optional[Tuple[float, float, float]] = None,
+    timestep: Optional[float] = None,
+    dtype=jnp.float32,
+) -> RobotModel:
+    """Parse an MJCF file into a RobotModel.
+
+    Contact points are derived from the collision meshes of the end-effector
+    bodies (4 sole corners per foot, see models/stl.py); bodies without a
+    collidable mesh contribute no contact points.
+    """
+    spec = mjcf_mod.parse_mjcf(xml_path)
+    B = len(spec.bodies)
+
+    body_parent = []
+    body_jnt_type = []
+    body_qpos_adr = []
+    body_dof_adr = []
+    joint_names = []
+    jnt_axis = np.tile(np.array([0.0, 0, 1.0]), (B, 1))
+    jnt_pos = np.zeros((B, 3))
+    limit_qpos_idx = []
+    limit_range = []
+
+    nq = 0
+    nv = 0
+    dof_damping = []
+    dof_armature = []
+    for i, b in enumerate(spec.bodies):
+        body_parent.append(b.parent)
+        if len(b.joints) > 1:
+            raise NotImplementedError("multiple joints per body not supported")
+        if not b.joints:
+            body_jnt_type.append(JNT_FIXED)
+            body_qpos_adr.append(-1)
+            body_dof_adr.append(-1)
+            joint_names.append("")
+            continue
+        j = b.joints[0]
+        joint_names.append(j.name)
+        body_qpos_adr.append(nq)
+        body_dof_adr.append(nv)
+        if j.jtype == "free":
+            body_jnt_type.append(JNT_FREE)
+            nq += 7
+            nv += 6
+            dof_damping += [0.0] * 6
+            dof_armature += [0.0] * 6
+        elif j.jtype == "hinge":
+            body_jnt_type.append(JNT_HINGE)
+            jnt_axis[i] = j.axis / np.linalg.norm(j.axis)
+            jnt_pos[i] = j.pos
+            if np.all(np.isfinite(j.range)) and j.range[0] < j.range[1]:
+                limit_qpos_idx.append(nq)
+                limit_range.append(j.range)
+            nq += 1
+            nv += 1
+            dof_damping.append(j.damping)
+            dof_armature.append(j.armature)
+        else:
+            raise NotImplementedError(f"joint type {j.jtype}")
+
+    # Ancestor mask: dof k moves body b iff k's joint is on b or an ancestor.
+    ancestor = np.zeros((B, nv))
+    for i in range(B):
+        chain = []
+        c = i
+        while c >= 0:
+            chain.append(c)
+            c = body_parent[c]
+        for c in chain:
+            if body_jnt_type[c] == JNT_FREE:
+                ancestor[i, body_dof_adr[c] : body_dof_adr[c] + 6] = 1.0
+            elif body_jnt_type[c] == JNT_HINGE:
+                ancestor[i, body_dof_adr[c]] = 1.0
+
+    # Actuators (motors on hinge joints; torque tau = gear * u).
+    act_dof_adr = []
+    act_gear = []
+    ctrl_range = []
+    jn_to_body = {jn: i for i, jn in enumerate(joint_names) if jn}
+    for a in spec.actuators:
+        bidx = jn_to_body[a.joint]
+        act_dof_adr.append(body_dof_adr[bidx])
+        act_gear.append(a.gear)
+        ctrl_range.append(a.ctrlrange)
+    nu = len(act_dof_adr)
+
+    # End-effectors and contact points.
+    ee_body_idx = tuple(spec.body_index(n) for n in ee_body_names)
+    cp_body_idx = []
+    cp_pos = []
+    for bidx in ee_body_idx:
+        b = spec.bodies[bidx]
+        for g in b.geoms:
+            if (g.contype or g.conaffinity) and g.mesh and g.mesh in spec.meshes:
+                verts = stl.read_stl_vertices(spec.meshes[g.mesh])
+                from mpc_ilqr_tpu.models._np_quat import np_quat_to_mat
+
+                verts = (np_quat_to_mat(g.quat) @ verts.T).T + g.pos
+                for p in stl.sole_contact_points(verts):
+                    cp_body_idx.append(bidx)
+                    cp_pos.append(p)
+                break
+    cp_pos = np.array(cp_pos).reshape(-1, 3)
+
+    key_qpos = np.zeros(nq)
+    if "home" in spec.keyframes:
+        key_qpos = spec.keyframes["home"]
+    elif spec.keyframes:
+        key_qpos = next(iter(spec.keyframes.values()))
+
+    g = np.array(gravity) if gravity is not None else spec.gravity
+    arr = lambda a: jnp.asarray(np.asarray(a, dtype=np.float64), dtype=dtype)
+
+    return RobotModel(
+        name=spec.model_name,
+        nq=nq,
+        nv=nv,
+        nu=nu,
+        nbody=B,
+        body_names=tuple(b.name for b in spec.bodies),
+        body_parent=tuple(body_parent),
+        body_jnt_type=tuple(body_jnt_type),
+        body_qpos_adr=tuple(body_qpos_adr),
+        body_dof_adr=tuple(body_dof_adr),
+        joint_names=tuple(joint_names),
+        act_dof_adr=tuple(act_dof_adr),
+        ee_body_idx=ee_body_idx,
+        cp_body_idx=tuple(cp_body_idx),
+        limit_qpos_idx=tuple(limit_qpos_idx),
+        timestep=float(timestep if timestep is not None else spec.timestep),
+        body_pos=arr(np.stack([b.pos for b in spec.bodies])),
+        body_quat=arr(np.stack([b.quat for b in spec.bodies])),
+        body_ipos=arr(np.stack([b.ipos for b in spec.bodies])),
+        body_iquat=arr(np.stack([b.iquat for b in spec.bodies])),
+        body_mass=arr([b.mass for b in spec.bodies]),
+        body_inertia=arr(np.stack([b.inertia for b in spec.bodies])),
+        jnt_axis=arr(jnt_axis),
+        jnt_pos=arr(jnt_pos),
+        dof_damping=arr(dof_damping),
+        dof_armature=arr(dof_armature),
+        ancestor_mask=arr(ancestor),
+        act_gear=arr(act_gear),
+        ctrl_range=arr(np.stack(ctrl_range) if ctrl_range else np.zeros((0, 2))),
+        limit_range=arr(np.stack(limit_range) if limit_range else np.zeros((0, 2))),
+        gravity=arr(g),
+        cp_pos=arr(cp_pos),
+        contact_stiffness=arr(contact_stiffness),
+        contact_damping=arr(contact_damping),
+        contact_friction=arr(contact_friction),
+        key_qpos=arr(key_qpos),
+    )
+
+
+def load_h1(
+    xml_path: str = H1_SCENE_XML,
+    gravity=None,
+    timestep: Optional[float] = None,
+    dtype=jnp.float32,
+    **kw,
+) -> RobotModel:
+    """Load the Unitree H1 (nq=26, nv=25, nu=19) with foot end-effectors.
+
+    Mirrors the reference setup: left/right ankle links are the feet
+    (robot_utils.cpp:44-47), dt and gravity come from config.
+    """
+    return load_robot(
+        xml_path,
+        ee_body_names=("left_ankle_link", "right_ankle_link"),
+        gravity=gravity,
+        timestep=timestep,
+        dtype=dtype,
+        **kw,
+    )
+
+
+def standing_state(model: RobotModel, height: float = 1.0432) -> jnp.ndarray:
+    """The reference's standing initial state: zeros except z and qw
+    (robot_utils.cpp:557-596)."""
+    q = jnp.zeros(model.nq, dtype=model.body_pos.dtype)
+    q = q.at[2].set(height)
+    q = q.at[3].set(1.0)
+    return jnp.concatenate([q, jnp.zeros(model.nv, dtype=q.dtype)])

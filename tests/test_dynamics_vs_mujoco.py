@@ -1,0 +1,176 @@
+"""Cross-validate the JAX engine against the MuJoCo oracle on the H1 model.
+
+The reference's behavior *is* MuJoCo (robot_utils.cpp wraps mj_forward /
+mj_step); these tests pin our parser, kinematics, mass matrix, bias forces,
+gravity compensation, and contact-free integration to the same numbers.
+Contact dynamics intentionally differ (smooth compliant model vs. MuJoCo's
+Newton solver) and are tested separately for qualitative behavior.
+"""
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from mpc_ilqr_tpu.dynamics import engine, kinematics
+from mpc_ilqr_tpu.models.robot import H1_SCENE_XML, load_h1, standing_state
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module")
+def mj():
+    m = mujoco.MjModel.from_xml_path(H1_SCENE_XML)
+    m.opt.gravity[:] = [0.0, 0.0, -1.0]  # stock config.yaml gravity
+    m.opt.timestep = 0.02
+    return m, mujoco.MjData(m)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return load_h1(gravity=(0.0, 0.0, -1.0), timestep=0.02, dtype=jnp.float64)
+
+
+def random_qpos(m, scale=0.3):
+    q = np.zeros(m.nq)
+    q[:3] = RNG.normal(0, 0.2, 3) + [0, 0, 1.2]
+    quat = RNG.normal(0, 1, 4)
+    q[3:7] = quat / np.linalg.norm(quat)
+    lo, hi = m.jnt_range[1:, 0], m.jnt_range[1:, 1]
+    q[7:] = lo + (hi - lo) * RNG.uniform(0.2, 0.8, m.nq - 7)
+    return q
+
+
+def test_model_dims(mj, model):
+    m, _ = mj
+    assert (model.nq, model.nv, model.nu) == (m.nq, m.nv, m.nu)
+    assert model.nbody == m.nbody - 1  # we exclude the world body
+    np.testing.assert_allclose(np.asarray(model.body_mass), m.body_mass[1:], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(model.dof_damping), m.dof_damping, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(model.dof_armature), m.dof_armature, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(model.body_inertia), m.body_inertia[1:], rtol=1e-9)
+    # actuator mapping: dof addresses and ctrl ranges
+    np.testing.assert_array_equal(
+        np.array(model.act_dof_adr), m.jnt_dofadr[m.actuator_trnid[:, 0]]
+    )
+    np.testing.assert_allclose(np.asarray(model.ctrl_range), m.actuator_ctrlrange, rtol=1e-12)
+
+
+def test_forward_kinematics(mj, model):
+    m, d = mj
+    for _ in range(5):
+        q = random_qpos(m)
+        d.qpos[:] = q
+        d.qvel[:] = 0
+        mujoco.mj_forward(m, d)
+        fr = kinematics.forward_kinematics(model, jnp.asarray(q))
+        np.testing.assert_allclose(np.asarray(fr.p), d.xpos[1:], atol=1e-9)
+        xmats = d.xmat.reshape(-1, 3, 3)[1:]
+        np.testing.assert_allclose(np.asarray(fr.R), xmats, atol=1e-9)
+        # CoM (mass-weighted xipos — robot_utils.cpp:810-833)
+        com_ref = (m.body_mass[1:, None] * d.xipos[1:]).sum(0) / m.body_mass[1:].sum()
+        np.testing.assert_allclose(
+            np.asarray(kinematics.com_position(model, jnp.asarray(q))), com_ref, atol=1e-9
+        )
+
+
+def test_mass_matrix(mj, model):
+    m, d = mj
+    q = random_qpos(m)
+    d.qpos[:] = q
+    mujoco.mj_forward(m, d)
+    Mfull = np.zeros((m.nv, m.nv))
+    mujoco.mj_fullM(m, d, Mfull)
+    fr = kinematics.forward_kinematics(model, jnp.asarray(q))
+    M = engine.mass_matrix(model, fr)
+    np.testing.assert_allclose(np.asarray(M), Mfull, atol=1e-8)
+
+
+def test_bias_forces(mj, model):
+    m, d = mj
+    for _ in range(3):
+        q = random_qpos(m)
+        v = RNG.normal(0, 0.5, m.nv)
+        d.qpos[:] = q
+        d.qvel[:] = v
+        mujoco.mj_forward(m, d)
+        bias = engine.bias_forces(model, jnp.asarray(q), jnp.asarray(v))
+        np.testing.assert_allclose(np.asarray(bias), d.qfrc_bias, atol=1e-7)
+
+
+def test_com_and_ee_velocity(mj, model):
+    m, d = mj
+    q = random_qpos(m)
+    v = RNG.normal(0, 0.5, m.nv)
+    d.qpos[:] = q
+    d.qvel[:] = v
+    mujoco.mj_forward(m, d)
+    # CoM velocity via mj_jacSubtreeCom on body 0 (robot_utils.cpp:383-390)
+    jac = np.zeros((3, m.nv))
+    mujoco.mj_jacSubtreeCom(m, d, jac, 0)
+    np.testing.assert_allclose(
+        np.asarray(kinematics.com_velocity(model, jnp.asarray(q), jnp.asarray(v))),
+        jac @ v,
+        atol=1e-8,
+    )
+    # EE world linear velocity of ankle body frames (robot_utils.cpp:405-409)
+    for k, name in enumerate(["left_ankle_link", "right_ankle_link"]):
+        bid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_BODY, name)
+        jp = np.zeros((3, m.nv))
+        jr = np.zeros((3, m.nv))
+        mujoco.mj_jacBody(m, d, jp, jr, bid)
+        ee_v = kinematics.ee_velocities(model, jnp.asarray(q), jnp.asarray(v))
+        np.testing.assert_allclose(np.asarray(ee_v[k]), jp @ v, atol=1e-8)
+
+
+def test_gravity_comp_standing(mj, model):
+    m, d = mj
+    x = standing_state(model)
+    d.qpos[:] = np.asarray(x[: m.nq])
+    d.qvel[:] = 0
+    mujoco.mj_forward(m, d)
+    u = engine.gravity_comp(model, x)
+    expect = d.qfrc_bias[6:]  # driver fallback (humanoid_mpc.cpp:157)
+    np.testing.assert_allclose(np.asarray(u), expect, atol=1e-8)
+
+
+def test_contact_free_step_matches_mujoco(mj, model):
+    """With the robot in the air, our Euler step must track mj_step closely."""
+    m, d = mj
+    q = random_qpos(m)
+    q[2] = 3.0  # well above the floor: no contacts
+    v = RNG.normal(0, 0.3, m.nv)
+    d.qpos[:] = q
+    d.qvel[:] = v
+    d.ctrl[:] = RNG.normal(0, 5.0, m.nu)
+    mujoco.mj_forward(m, d)
+    assert d.ncon == 0
+    x = jnp.concatenate([jnp.asarray(q), jnp.asarray(v)])
+    u = jnp.asarray(d.ctrl)
+    x_next = engine.step(model, x, u)
+    mujoco.mj_step(m, d)
+    np.testing.assert_allclose(np.asarray(x_next[: m.nq]), d.qpos, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x_next[m.nq :]), d.qvel, atol=1e-5)
+
+
+def test_contact_holds_standing_robot(model):
+    """Compliant contact should roughly support the standing robot: after a
+    second of passive dynamics with gravity-comp torques, the base stays up."""
+    x = standing_state(model)
+    u = engine.gravity_comp(model, x)
+
+    def body(x, _):
+        return engine.step(model, x, u), None
+
+    xT, _ = jax.lax.scan(body, x, None, length=50)
+    assert np.isfinite(np.asarray(xT)).all()
+    assert float(xT[2]) > 0.9  # base height stays near 1.04
+
+
+def test_step_jacobian_finite(model):
+    x = standing_state(model)
+    u = engine.gravity_comp(model, x)
+    A = jax.jacfwd(lambda xx: engine.step(model, xx, u))(x)
+    B = jax.jacfwd(lambda uu: engine.step(model, x, uu))(u)
+    assert np.isfinite(np.asarray(A)).all() and np.isfinite(np.asarray(B)).all()
+    assert A.shape == (model.nx, model.nx) and B.shape == (model.nx, model.nu)
