@@ -4,9 +4,9 @@ Replaces the reference's dynamics backend (robot_utils.cpp:100-160):
 - `mass_matrix`      composite M(q) via body Jacobians (CRB-equivalent)
 - `bias_forces`      Coriolis/centrifugal/gravity via a jvp through the
                      body-velocity map (no hand-derived Christoffel terms)
-- `contact_forces`   smooth compliant point contact vs. the ground plane
-                     (stands in for MuJoCo's Newton/elliptic-cone solver,
-                     robot_utils.cpp:588-592 — see SURVEY §7 hard part 1)
+- `contact_terms`    smooth compliant point contact vs. the ground plane,
+                     integrated implicitly (stands in for MuJoCo's
+                     Newton/elliptic-cone solver, robot_utils.cpp:588-592)
 - `step`             MuJoCo-Euler-compatible semi-implicit integrator with
                      implicit joint damping
 - `gravity_comp`     gravity/bias compensation torques (robot_utils.cpp:844-866;
@@ -17,6 +17,11 @@ Replaces the reference's dynamics backend (robot_utils.cpp:100-160):
 Because `step` is pure jnp, `jax.jacfwd(step)` replaces the reference's
 1,775-serial-rollout finite-difference linearization (robot_utils.cpp:120-160)
 with one batched 70-tangent sweep.
+
+Compile-size discipline: `step` runs exactly ONE forward-kinematics pass —
+its tangent (for the Coriolis terms) comes from the same jvp that produces
+the primal, and M, bias, and contact all share those frames. Keeping the
+traced graph small is what keeps XLA compiles fast.
 """
 from __future__ import annotations
 
@@ -28,12 +33,12 @@ from mpc_ilqr_tpu.dynamics.kinematics import (
     KinFrames,
     body_com_positions,
     body_jacobians,
-    body_velocities,
     forward_kinematics,
 )
 from mpc_ilqr_tpu.models.robot import JNT_FREE, JNT_HINGE, RobotModel
 
 HIGHEST = jax.lax.Precision.HIGHEST
+_ei = lambda spec, *ops: jnp.einsum(spec, *ops, precision=HIGHEST)
 
 
 def normalize_state(model: RobotModel, x: jnp.ndarray) -> jnp.ndarray:
@@ -49,18 +54,8 @@ def normalize_state(model: RobotModel, x: jnp.ndarray) -> jnp.ndarray:
 
 def _world_inertias(model: RobotModel, fr: KinFrames) -> jnp.ndarray:
     """Rotational inertia of each body about its CoM in world axes, (B,3,3)."""
-    Rin = jnp.matmul(fr.R, qm.quat_to_mat(model.body_iquat), precision=HIGHEST)  # (B,3,3)
-    return jnp.einsum("bij,bj,bkj->bik", Rin, model.body_inertia, Rin, precision=HIGHEST)
-
-
-def mass_matrix(model: RobotModel, fr: KinFrames) -> jnp.ndarray:
-    """Joint-space inertia matrix M(q) + armature, shape (nv, nv)."""
-    pc = body_com_positions(model, fr)
-    Jv, Jw = body_jacobians(model, fr, pc)  # (B,3,nv) each
-    Iw = _world_inertias(model, fr)
-    M = jnp.einsum("b,bik,bil->kl", model.body_mass, Jv, Jv, precision=HIGHEST)
-    M = M + jnp.einsum("bik,bij,bjl->kl", Jw, Iw, Jw, precision=HIGHEST)
-    return M + jnp.diag(model.dof_armature)
+    Rin = jnp.matmul(fr.R, qm.quat_to_mat(model.body_iquat), precision=HIGHEST)
+    return _ei("bij,bj,bkj->bik", Rin, model.body_inertia, Rin)
 
 
 def _qdot(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -80,61 +75,76 @@ def _qdot(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return qd
 
 
-def bias_forces(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """qfrc_bias: Coriolis + centrifugal + gravity generalized forces.
-
-    Newton-Euler assembled from velocity-product accelerations obtained by a
-    single jvp of the body-velocity map along qdot — the AD analogue of RNEA.
-    M(q) v̇ + bias(q, v) = tau.
-    """
-
-    def vels(qq):
-        frq = forward_kinematics(model, qq)
-        om, vc = body_velocities(model, frq, v)
-        return om, vc
-
+def _dynamics_terms(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray):
+    """One fused pass: frames, M(q), bias(q,v) — FK traced once; the
+    velocity-product (Coriolis) accelerations are the jvp tangents of the
+    very same computation (AD analogue of RNEA)."""
     qd = _qdot(model, q, v)
-    (omega, _vc), (omega_dot, acc_c) = jax.jvp(vels, (q,), (qd,))
 
-    fr = forward_kinematics(model, q)
+    def kin_all(qq):
+        fr = forward_kinematics(model, qq)
+        pc = body_com_positions(model, fr)
+        Jv, Jw = body_jacobians(model, fr, pc)
+        om = _ei("bij,j->bi", Jw, v)
+        vc = _ei("bij,j->bi", Jv, v)
+        return (om, vc), (fr, Jv, Jw)
+
+    ((omega, _vc), (fr, Jv, Jw)), ((omega_dot, acc_c), _) = jax.jvp(kin_all, (q,), (qd,))
+
     Iw = _world_inertias(model, fr)
-    pc = body_com_positions(model, fr)
-    Jv, Jw = body_jacobians(model, fr, pc)
+    M = _ei("b,bik,bil->kl", model.body_mass, Jv, Jv)
+    M = M + _ei("bik,bij,bjl->kl", Jw, Iw, Jw)
+    M = M + jnp.diag(model.dof_armature)
 
     f = model.body_mass[:, None] * (acc_c - model.gravity[None, :])  # (B,3)
-    Iw_omega = jnp.einsum("bij,bj->bi", Iw, omega, precision=HIGHEST)
-    n = jnp.einsum("bij,bj->bi", Iw, omega_dot, precision=HIGHEST) + jnp.cross(omega, Iw_omega)
-    return jnp.einsum("bik,bi->k", Jv, f, precision=HIGHEST) + jnp.einsum("bik,bi->k", Jw, n, precision=HIGHEST)
+    n = _ei("bij,bj->bi", Iw, omega_dot) + jnp.cross(omega, _ei("bij,bj->bi", Iw, omega))
+    bias = _ei("bik,bi->k", Jv, f) + _ei("bik,bi->k", Jw, n)
+    return fr, M, bias
+
+
+def mass_matrix(model: RobotModel, fr: KinFrames) -> jnp.ndarray:
+    """Joint-space inertia matrix M(q) + armature, shape (nv, nv)."""
+    pc = body_com_positions(model, fr)
+    Jv, Jw = body_jacobians(model, fr, pc)
+    Iw = _world_inertias(model, fr)
+    M = _ei("b,bik,bil->kl", model.body_mass, Jv, Jv)
+    M = M + _ei("bik,bij,bjl->kl", Jw, Iw, Jw)
+    return M + jnp.diag(model.dof_armature)
+
+
+def bias_forces(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """qfrc_bias: Coriolis + centrifugal + gravity generalized forces.
+    M(q) v̇ + bias(q, v) = tau."""
+    _, _, bias = _dynamics_terms(model, q, v)
+    return bias
 
 
 def contact_terms(model: RobotModel, fr: KinFrames, v: jnp.ndarray, h):
     """Smooth compliant contact of the sampled sole points vs. the z=0 plane.
 
     Implicit treatment (the TPU analogue of MuJoCo's implicit Newton contact
-    solver, robot_utils.cpp:588-592): the elastic normal force k·φ goes on the
-    RHS, while normal damping, the h·k implicit-stiffness coupling, and
-    velocity-regularized Coulomb friction become per-contact damping matrices
-    folded into the (M + hC) velocity solve. Unconditionally stable at the
-    50 Hz control timestep and C^0-smooth in (q, v), so jacfwd through `step`
-    stays informative (SURVEY §7 hard part 2).
+    solver): the elastic normal force k·φ goes on the RHS; normal damping,
+    the h·k implicit-stiffness coupling, and velocity-regularized Coulomb
+    friction become per-contact damping matrices folded into the (M + hC)
+    velocity solve. Unconditionally stable at the 50 Hz control timestep and
+    C^0-smooth in (q, v), so jacfwd through `step` stays informative
+    (SURVEY §7 hard part 2).
 
     Returns (Jp (ncp,3,nv), f_el (ncp,3), c_diag (ncp,3), points_w (ncp,3)).
     """
     if model.ncp == 0:
         z = jnp.zeros((0, 3), v.dtype)
         return jnp.zeros((0, 3, model.nv), v.dtype), z, z, z
-    bidx = jnp.array(model.cp_body_idx)
-    pw = fr.p[bidx] + jnp.einsum("cij,cj->ci", fr.R[bidx], model.cp_pos, precision=HIGHEST)  # (ncp,3)
+    import numpy as np
 
-    # Per-point linear Jacobians.
-    mask = model.ancestor_mask[bidx]  # (ncp, nv)
-    lin = fr.dof_linear
-    diff = pw[:, None, :] - fr.dof_anchor[None, :, :]
-    rot = jnp.cross(jnp.broadcast_to(fr.dof_axis, diff.shape), diff)
-    cols = lin[None, :, None] * fr.dof_axis[None] + (1.0 - lin)[None, :, None] * rot
-    Jp = jnp.swapaxes(cols * mask[:, :, None], -1, -2)  # (ncp, 3, nv)
+    bidx = np.asarray(model.cp_body_idx)
+    pw = fr.p[jnp.asarray(bidx)] + _ei("cij,cj->ci", fr.R[jnp.asarray(bidx)], model.cp_pos)
 
-    vel = jnp.einsum("cij,j->ci", Jp, v, precision=HIGHEST)  # current contact-point velocity
+    from mpc_ilqr_tpu.dynamics.kinematics import point_jacobians
+
+    Jp = point_jacobians(model, fr, bidx, pw)  # (ncp, 3, nv)
+
+    vel = _ei("cij,j->ci", Jp, v)  # current contact-point velocity
     depth = -pw[:, 2]
     active = jnp.where(depth > 0.0, 1.0, 0.0).astype(v.dtype)
     fn_el = model.contact_stiffness * depth * active
@@ -158,16 +168,16 @@ def contact_forces(model: RobotModel, x: jnp.ndarray):
     q, v = model.split_state(normalize_state(model, x))
     fr = forward_kinematics(model, q)
     Jp, f_el, c_diag, pw = contact_terms(model, fr, v, model.timestep)
-    vel = jnp.einsum("cij,j->ci", Jp, v, precision=HIGHEST)
+    vel = _ei("cij,j->ci", Jp, v)
     return f_el - c_diag * vel, pw
 
 
 def applied_torques(model: RobotModel, u: jnp.ndarray) -> jnp.ndarray:
     """Scatter actuator commands into the dof-space torque vector."""
+    import numpy as np
+
     tau = jnp.zeros(model.nv, dtype=u.dtype)
-    for i, d in enumerate(model.act_dof_adr):
-        tau = tau.at[d].add(model.act_gear[i] * u[i])
-    return tau
+    return tau.at[np.asarray(model.act_dof_adr)].add(model.act_gear * u)
 
 
 def integrate_position(model: RobotModel, q: jnp.ndarray, v_next: jnp.ndarray, h) -> jnp.ndarray:
@@ -197,15 +207,13 @@ def step(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray, n_substeps: int = 1)
 
     def substep(x, _):
         q, v = model.split_state(normalize_state(model, x))
-        fr = forward_kinematics(model, q)
-        M = mass_matrix(model, fr)
-        bias = bias_forces(model, q, v)
+        fr, M, bias = _dynamics_terms(model, q, v)
         tau = applied_torques(model, u)
         Jp, f_el, c_diag, _ = contact_terms(model, fr, v, h)
         lhs = M + h * jnp.diag(model.dof_damping)
         if model.ncp:
-            lhs = lhs + h * jnp.einsum("cik,ci,cil->kl", Jp, c_diag, Jp, precision=HIGHEST)
-            tau = tau + jnp.einsum("cik,ci->k", Jp, f_el, precision=HIGHEST)
+            lhs = lhs + h * _ei("cik,ci,cil->kl", Jp, c_diag, Jp)
+            tau = tau + _ei("cik,ci->k", Jp, f_el)
         rhs = jnp.matmul(M, v, precision=HIGHEST) + h * (tau - bias)
         v_next = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(lhs), rhs)
         q_next = integrate_position(model, q, v_next, h)
@@ -220,7 +228,8 @@ def step(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray, n_substeps: int = 1)
 def gravity_comp(model: RobotModel, x: jnp.ndarray) -> jnp.ndarray:
     """Actuator torques canceling qfrc_bias at the current state
     (RobotUtils::computeGravComp, with correct dof addressing)."""
+    import numpy as np
+
     q, v = model.split_state(normalize_state(model, x))
     bias = bias_forces(model, q, v)
-    idx = jnp.array(model.act_dof_adr)
-    return bias[idx] / model.act_gear
+    return bias[np.asarray(model.act_dof_adr)] / model.act_gear

@@ -8,16 +8,20 @@ LOCAL_WORLD_ALIGNED, derivatives.cpp:625-646), and the mass-weighted CoM
 (robot_utils.cpp:810-833). Everything is differentiable, so jax.grad /
 jax.hessian replace the CasADi symbolic gradient/Hessian factory.
 
-The body loop unrolls at trace time (nbody ≈ 20); all quantities broadcast
-over leading batch axes of q/v, so `vmap` turns the whole stack into
-VPU/MXU-batched array ops.
+TPU-first structure: the kinematic tree is processed per depth LEVEL, not per
+body — each level is one batch of 3×3 matmuls/rotations over all bodies at
+that depth (H1: 20 bodies → 7 levels). This keeps the traced graph small
+(fast XLA compiles) and the work VPU-batched; under vmap the leading batch
+axis multiplies straight through.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Small ill-conditioned chains + Cholesky downstream: TPU's default bf16
 # matmul precision is not enough. Pin full f32 on every contraction.
@@ -37,63 +41,81 @@ class KinFrames(NamedTuple):
     dof_linear: jnp.ndarray  # (nv,) 1.0 for translational dofs
 
 
-def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> KinFrames:
-    """Compute world poses of all bodies and per-dof world axes/anchors."""
-    Rs = []
-    ps = []
-    axis_rows = [None] * model.nv
-    anchor_rows = [None] * model.nv
-    linear_flags = [0.0] * model.nv
-    zero3 = jnp.zeros(3, dtype=q.dtype)
+@functools.lru_cache(maxsize=32)
+def _tree_levels(body_parent: tuple, body_jnt_type: tuple):
+    """Static schedule: bodies grouped by tree depth, split by joint type."""
+    B = len(body_parent)
+    depth = [0] * B
+    for i in range(B):
+        depth[i] = 0 if body_parent[i] < 0 else depth[body_parent[i]] + 1
+    levels = []
+    for d in range(max(depth) + 1):
+        idx = [i for i in range(B) if depth[i] == d]
+        free = tuple(i for i in idx if body_jnt_type[i] == JNT_FREE)
+        hinge = tuple(i for i in idx if body_jnt_type[i] == JNT_HINGE)
+        fixed = tuple(i for i in idx if body_jnt_type[i] == JNT_FIXED)
+        levels.append((free, hinge, fixed))
+    return levels
 
-    for i in range(model.nbody):
-        par = model.body_parent[i]
-        if par < 0:
-            Rp = jnp.eye(3, dtype=q.dtype)
-            pp = zero3
-        else:
-            Rp, pp = Rs[par], ps[par]
-        jtype = model.body_jnt_type[i]
-        if jtype == JNT_FREE:
-            a = model.body_qpos_adr[i]
-            d = model.body_dof_adr[i]
+
+def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> KinFrames:
+    """Level-batched FK: world poses of all bodies + per-dof axes/anchors."""
+    B, nv = model.nbody, model.nv
+    dt = q.dtype
+    R = jnp.zeros((B, 3, 3), dt)
+    p = jnp.zeros((B, 3), dt)
+    W = jnp.zeros((nv, 3), dt)  # dof world axes
+    O = jnp.zeros((nv, 3), dt)  # dof anchors
+    lin = np.zeros(nv)
+
+    parent = np.asarray(model.body_parent)
+    qadr = np.asarray(model.body_qpos_adr)
+    dadr = np.asarray(model.body_dof_adr)
+
+    for free, hinge, fixed in _tree_levels(model.body_parent, model.body_jnt_type):
+        for i in free:  # free joints are rare (one root); keep scalar path
+            a, d = qadr[i], dadr[i]
             quat = qm.quat_normalize(q[a + 3 : a + 7])
             Ri = qm.quat_to_mat(quat)
             pi = q[a : a + 3]
-            for k in range(3):
-                axis_rows[d + k] = jnp.eye(3, dtype=q.dtype)[k]
-                anchor_rows[d + k] = zero3
-                linear_flags[d + k] = 1.0
-            for k in range(3):
-                # Angular velocity is body-local: world axis = k-th column of R.
-                axis_rows[d + 3 + k] = Ri[:, k]
-                anchor_rows[d + 3 + k] = pi
-        else:
-            Ri = jnp.matmul(Rp, qm.quat_to_mat(model.body_quat[i]), precision=HIGHEST)
-            pi = pp + jnp.matmul(Rp, model.body_pos[i], precision=HIGHEST)
-            if jtype == JNT_HINGE:
-                a = model.body_qpos_adr[i]
-                d = model.body_dof_adr[i]
-                ax = model.jnt_axis[i]
-                jp = model.jnt_pos[i]
-                Rj = qm.quat_to_mat(qm.quat_axis_angle(ax, q[a]))
-                # X_child = X_prejoint * Trans(jp) * Rot * Trans(-jp)
-                pi = pi + jnp.matmul(Ri, jp - jnp.matmul(Rj, jp, precision=HIGHEST), precision=HIGHEST)
-                Ri = jnp.matmul(Ri, Rj, precision=HIGHEST)
-                axis_rows[d] = jnp.matmul(Ri, ax, precision=HIGHEST)
-                anchor_rows[d] = pi + jnp.matmul(Ri, jp, precision=HIGHEST)
-            elif jtype != JNT_FIXED:
-                raise NotImplementedError(jtype)
-        Rs.append(Ri)
-        ps.append(pi)
+            R = R.at[i].set(Ri)
+            p = p.at[i].set(pi)
+            W = W.at[d : d + 3].set(jnp.eye(3, dtype=dt))
+            lin[d : d + 3] = 1.0
+            W = W.at[d + 3 : d + 6].set(Ri.T)  # columns of R = body axes in world
+            O = O.at[d + 3 : d + 6].set(jnp.broadcast_to(pi, (3, 3)))
 
-    return KinFrames(
-        R=jnp.stack(Rs),
-        p=jnp.stack(ps),
-        dof_axis=jnp.stack(axis_rows),
-        dof_anchor=jnp.stack(anchor_rows),
-        dof_linear=jnp.asarray(linear_flags, dtype=q.dtype),
-    )
+        for group, is_hinge in ((tuple(hinge), True), (tuple(fixed), False)):
+            if not group:
+                continue
+            gi = np.array(group)
+            par = jnp.asarray(parent[gi])
+            Rp = R[par]  # (g,3,3)
+            pp = p[par]
+            Rb = qm.quat_to_mat(model.body_quat[gi])
+            Ri = jnp.matmul(Rp, Rb, precision=HIGHEST)
+            pi = pp + jnp.einsum("gij,gj->gi", Rp, model.body_pos[gi], precision=HIGHEST)
+            if is_hinge:
+                ja = jnp.asarray(qadr[gi])
+                theta = q[ja]
+                ax = model.jnt_axis[gi]
+                jp = model.jnt_pos[gi]
+                Rj = qm.quat_to_mat(qm.quat_axis_angle(ax, theta))
+                # X_child = X_prejoint * Trans(jp) * Rot * Trans(-jp)
+                pi = pi + jnp.einsum(
+                    "gij,gj->gi", Ri, jp - jnp.einsum("gij,gj->gi", Rj, jp, precision=HIGHEST),
+                    precision=HIGHEST,
+                )
+                Ri = jnp.matmul(Ri, Rj, precision=HIGHEST)
+                w = jnp.einsum("gij,gj->gi", Ri, ax, precision=HIGHEST)
+                anchor = pi + jnp.einsum("gij,gj->gi", Ri, jp, precision=HIGHEST)
+                da = np.asarray(dadr[gi])
+                W = W.at[da].set(w)
+                O = O.at[da].set(anchor)
+            R = R.at[gi].set(Ri)
+            p = p.at[gi].set(pi)
+
+    return KinFrames(R=R, p=p, dof_axis=W, dof_anchor=O, dof_linear=jnp.asarray(lin, dt))
 
 
 def point_jacobian(model: RobotModel, fr: KinFrames, body_idx: int, point_w: jnp.ndarray):
@@ -105,20 +127,22 @@ def point_jacobian(model: RobotModel, fr: KinFrames, body_idx: int, point_w: jnp
     return (cols * mask[:, None]).T
 
 
-def body_jacobians(model: RobotModel, fr: KinFrames, points_w: jnp.ndarray):
-    """Batched point Jacobians for one point per body.
-
-    points_w: (B, 3) world point attached to each body.
-    Returns Jv (B, 3, nv) linear and Jw (B, 3, nv) angular Jacobians.
-    """
-    mask = model.ancestor_mask  # (B, nv)
-    lin = fr.dof_linear  # (nv,)
-    # rot columns per (body, dof): axis_k × (p_b - anchor_k)
-    diff = points_w[:, None, :] - fr.dof_anchor[None, :, :]  # (B, nv, 3)
+def point_jacobians(model: RobotModel, fr: KinFrames, body_idx, points_w: jnp.ndarray):
+    """Batched linear Jacobians (n, 3, nv) for points on bodies `body_idx`
+    (static index array) at world positions points_w (n, 3)."""
+    mask = model.ancestor_mask[jnp.asarray(body_idx)]  # (n, nv)
+    lin = fr.dof_linear
+    diff = points_w[:, None, :] - fr.dof_anchor[None, :, :]  # (n, nv, 3)
     rot = jnp.cross(jnp.broadcast_to(fr.dof_axis, diff.shape), diff)
-    cols_v = lin[None, :, None] * fr.dof_axis[None] + (1.0 - lin)[None, :, None] * rot
-    Jv = jnp.swapaxes(cols_v * mask[:, :, None], -1, -2)  # (B, 3, nv)
-    cols_w = (1.0 - lin)[None, :, None] * fr.dof_axis[None] * mask[:, :, None]
+    cols = lin[None, :, None] * fr.dof_axis[None] + (1.0 - lin)[None, :, None] * rot
+    return jnp.swapaxes(cols * mask[:, :, None], -1, -2)  # (n, 3, nv)
+
+
+def body_jacobians(model: RobotModel, fr: KinFrames, points_w: jnp.ndarray):
+    """Point Jacobians for one point per body: Jv, Jw each (B, 3, nv)."""
+    Jv = point_jacobians(model, fr, np.arange(model.nbody), points_w)
+    lin = fr.dof_linear
+    cols_w = (1.0 - lin)[None, :, None] * fr.dof_axis[None] * model.ancestor_mask[:, :, None]
     Jw = jnp.swapaxes(cols_w, -1, -2)
     return Jv, Jw
 
@@ -137,13 +161,12 @@ def com_position(model: RobotModel, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def body_velocities(model: RobotModel, fr: KinFrames, v: jnp.ndarray):
-    """Angular velocity and CoM linear velocity of every body.
-
-    Returns (omega (B,3), vcom (B,3)) in world frame.
-    """
+    """Angular velocity and CoM linear velocity of every body (world frame)."""
     pc = body_com_positions(model, fr)
     Jv, Jw = body_jacobians(model, fr, pc)
-    return jnp.einsum("bij,j->bi", Jw, v, precision=HIGHEST), jnp.einsum("bij,j->bi", Jv, v, precision=HIGHEST)
+    om = jnp.einsum("bij,j->bi", Jw, v, precision=HIGHEST)
+    vc = jnp.einsum("bij,j->bi", Jv, v, precision=HIGHEST)
+    return om, vc
 
 
 def com_velocity(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -156,7 +179,7 @@ def com_velocity(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
 def ee_positions(model: RobotModel, q: jnp.ndarray) -> jnp.ndarray:
     """World positions of the end-effector body frames, (n_ee, 3)."""
     fr = forward_kinematics(model, q)
-    return fr.p[jnp.array(model.ee_body_idx)]
+    return fr.p[jnp.asarray(model.ee_body_idx)]
 
 
 def ee_velocities(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -166,8 +189,37 @@ def ee_velocities(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
     used by the reference's EE velocity cost (derivatives.cpp:625-646).
     """
     fr = forward_kinematics(model, q)
-    out = []
-    for i, b in enumerate(model.ee_body_idx):
-        J = point_jacobian(model, fr, b, fr.p[b])
-        out.append(jnp.matmul(J, v, precision=HIGHEST))
-    return jnp.stack(out)
+    idx = np.asarray(model.ee_body_idx)
+    J = point_jacobians(model, fr, idx, fr.p[jnp.asarray(idx)])
+    return jnp.einsum("eij,j->ei", J, v, precision=HIGHEST)
+
+
+class TaskFeatures(NamedTuple):
+    """All kinematic quantities the task costs consume — ONE FK + one
+    Jacobian set (the reference recomputes kinematics per cost family)."""
+
+    com: jnp.ndarray  # (3,)
+    com_vel: jnp.ndarray  # (3,)
+    ee_pos: jnp.ndarray  # (n_ee, 3)
+    ee_vel: jnp.ndarray  # (n_ee, 3)
+
+
+def task_features(model: RobotModel, x: jnp.ndarray) -> TaskFeatures:
+    q, v = model.split_state(x)
+    fr = forward_kinematics(model, q)
+    pc = body_com_positions(model, fr)
+    m = model.body_mass
+    msum = m.sum()
+    com = (m[:, None] * pc).sum(0) / msum
+    Jv, _ = body_jacobians(model, fr, pc)
+    vc = jnp.einsum("bij,j->bi", Jv, v, precision=HIGHEST)
+    com_vel = (m[:, None] * vc).sum(0) / msum
+    if model.n_ee:
+        idx = np.asarray(model.ee_body_idx)
+        pw = fr.p[jnp.asarray(idx)]
+        Je = point_jacobians(model, fr, idx, pw)
+        ee_vel = jnp.einsum("eij,j->ei", Je, v, precision=HIGHEST)
+    else:
+        pw = jnp.zeros((0, 3), x.dtype)
+        ee_vel = jnp.zeros((0, 3), x.dtype)
+    return TaskFeatures(com=com, com_vel=com_vel, ee_pos=pw, ee_vel=ee_vel)

@@ -1,0 +1,315 @@
+"""iLQR solver — TPU-native redesign of the reference optimizer (ilqr.cpp).
+
+Structure of one compiled solve (everything inside one jit, no host sync):
+
+  rollout        lax.scan of the dynamics step          (ilqr.cpp:119-124)
+  linearize      vmap(jacfwd(step)) over the horizon — replaces 25×71 serial
+                 finite-difference rollouts             (ilqr.cpp:126-131,
+                                                         robot_utils.cpp:120-160)
+  quadraticize   vmapped AD grad/hessian of the cost    (ilqr.cpp:133-244)
+  backward       Riccati recursion as lax.scan with the reference's
+                 λ-regularization + PD bump             (ilqr.cpp:250-309)
+  line search    ALL alphas rolled out at once via vmap, first-accept
+                 selection — the reference tries them serially
+                 (ilqr.cpp:311-361); behavior is identical because it also
+                 takes the first (largest) improving alpha
+  outer loop     lax.while_loop with the reference's adaptive regularization,
+                 retry-once, give-up and divergence policy (ilqr.cpp:619-656)
+
+All dense algebra is pinned to Precision.HIGHEST (TPU bf16 matmuls are not
+enough for 51-dim Riccati).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mpc_ilqr_tpu.costs.params import CostParams
+from mpc_ilqr_tpu.costs.quadratics import CostQuadratics, quadraticize, trajectory_cost
+from mpc_ilqr_tpu.costs.references import ReferenceWindow
+from mpc_ilqr_tpu.dynamics import engine
+from mpc_ilqr_tpu.models.robot import RobotModel
+
+HIGHEST = jax.lax.Precision.HIGHEST
+_mm = lambda a, b: jnp.matmul(a, b, precision=HIGHEST)
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRConfig:
+    """Static solver configuration (hashable: safe as a jit static arg).
+
+    Defaults mirror ilqr.cpp:16 and ilqr.cpp:320.
+    """
+
+    N: int = 25
+    max_iterations: int = 10
+    tolerance: float = 1e-4
+    reg_init: float = 1e-6
+    reg_min: float = 1e-6
+    reg_max: float = 1e-3
+    pd_bump: float = 1e-4
+    alphas: Tuple[float, ...] = (1.0, 0.8, 0.6, 0.4, 0.2, 0.1, 0.05, 0.01)
+    accept_threshold: float = 1e-6
+    divergence_threshold: float = 1e6
+    cost_mode: str = "reference"  # "reference" | "full" (see costs/terms.py)
+    n_substeps: int = 1  # physics substeps per horizon step (dt/physics_dt)
+    line_search: str = "first_accept"  # or "argmin" (best alpha, TPU-free lunch)
+
+
+class ILQRSolution(NamedTuple):
+    xbar: jnp.ndarray  # (N+1, nx)
+    ubar: jnp.ndarray  # (N, nu)
+    K: jnp.ndarray  # (N, nu, nx)
+    kff: jnp.ndarray  # (N, nu)
+    cost: jnp.ndarray  # ()
+    iterations: jnp.ndarray  # () i32
+    reg: jnp.ndarray  # () final lambda
+    success: jnp.ndarray  # () bool — at least one accepted step or converged start
+
+
+def rollout(model: RobotModel, cfg: ILQRConfig, x0: jnp.ndarray, us: jnp.ndarray) -> jnp.ndarray:
+    """Open-loop rollout: (N+1, nx) trajectory from x0 under us."""
+
+    def f(x, u):
+        xn = engine.step(model, x, u, cfg.n_substeps)
+        return xn, xn
+
+    _, xs = jax.lax.scan(f, x0, us)
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def linearize(model: RobotModel, cfg: ILQRConfig, xs: jnp.ndarray, us: jnp.ndarray):
+    """A (N, nx, nx), B (N, nx, nu) via one batched jacfwd over the horizon."""
+
+    def f(x, u):
+        return engine.step(model, x, u, cfg.n_substeps)
+
+    def AB(x, u):
+        A = jax.jacfwd(f, argnums=0)(x, u)
+        B = jax.jacfwd(f, argnums=1)(x, u)
+        return A, B
+
+    return jax.vmap(AB)(xs[:-1], us)
+
+
+def backward_pass(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    quad: CostQuadratics,
+    reg: jnp.ndarray,
+    pd_bump: float,
+):
+    """Riccati recursion (ilqr.cpp:250-309) as a reverse lax.scan.
+
+    Returns K (N, nu, nx), kff (N, nu).
+    """
+    nu = B.shape[-1]
+    I_u = jnp.eye(nu, dtype=B.dtype)
+
+    def step(carry, inp):
+        Vx, Vxx = carry
+        A_t, B_t, lx_t, lu_t, lxx_t, luu_t = inp
+        At, Bt = A_t.T, B_t.T
+        Qx = lx_t + _mm(At, Vx)
+        Qu = lu_t + _mm(Bt, Vx)
+        AtV = _mm(At, Vxx)
+        BtV = _mm(Bt, Vxx)
+        Qxx = lxx_t + _mm(AtV, A_t)
+        Qxu = _mm(AtV, B_t)  # lxu ≡ 0 (separable costs)
+        Quu = luu_t + _mm(BtV, B_t) + reg * I_u
+
+        # PD check with bump (ilqr.cpp:278-281): a failed Cholesky yields NaNs.
+        L = jnp.linalg.cholesky(Quu)
+        bad = ~jnp.isfinite(L).all()
+        Quu = Quu + jnp.where(bad, pd_bump, 0.0) * I_u
+        L = jnp.linalg.cholesky(Quu)
+
+        K_t = -jax.scipy.linalg.cho_solve((L, True), Qxu.T)
+        k_t = -jax.scipy.linalg.cho_solve((L, True), Qu)
+
+        # Value update (ilqr.cpp:293-307)
+        KT = K_t.T
+        Vx_n = Qx + _mm(KT, _mm(Quu, k_t)) + _mm(KT, Qu) + _mm(Qxu, k_t)
+        Vxx_n = Qxx + _mm(KT, _mm(Quu, K_t)) + _mm(KT, Qxu.T) + _mm(Qxu, K_t)
+        Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
+        return (Vx_n, Vxx_n), (K_t, k_t)
+
+    init = (quad.lx[-1], quad.lxx[-1])
+    inputs = (A, B, quad.lx[:-1], quad.lu, quad.lxx[:-1], quad.luu)
+    _, (K, kff) = jax.lax.scan(step, init, inputs, reverse=True)
+    return K, kff
+
+
+def line_search(
+    model: RobotModel,
+    cp: CostParams,
+    cfg: ILQRConfig,
+    win: ReferenceWindow,
+    x0: jnp.ndarray,
+    xbar: jnp.ndarray,
+    ubar: jnp.ndarray,
+    K: jnp.ndarray,
+    kff: jnp.ndarray,
+    baseline_cost: jnp.ndarray,
+):
+    """All alphas rolled out in one batched closed-loop scan (ilqr.cpp:311-361).
+
+    Returns (accepted, xs, us, cost) for the selected alpha: the largest
+    improving one in first_accept mode (reference semantics), or the argmin.
+    """
+    alphas = jnp.asarray(cfg.alphas, dtype=x0.dtype)
+
+    def roll_one(alpha):
+        def f(x, inp):
+            xb, ub, K_t, k_t = inp
+            u = ub + alpha * k_t + _mm(K_t, x - xb)
+            xn = engine.step(model, x, u, cfg.n_substeps)
+            return xn, (xn, u)
+
+        _, (xs_tail, us) = jax.lax.scan(f, x0, (xbar[:-1], ubar, K, kff))
+        xs = jnp.concatenate([x0[None], xs_tail], axis=0)
+        cost = trajectory_cost(model, cp, win, xs, us, mode=cfg.cost_mode)
+        return xs, us, cost
+
+    xs_all, us_all, costs = jax.vmap(roll_one)(alphas)
+    # NaN-poisoned rollouts must never be selected.
+    costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+    improves = costs < baseline_cost - cfg.accept_threshold
+    accepted = improves.any()
+    if cfg.line_search == "first_accept":
+        idx = jnp.argmax(improves)  # first True — alphas are ordered descending
+    else:  # argmin: take the best improving alpha
+        idx = jnp.argmin(costs)
+    xs = jnp.take(xs_all, idx, axis=0)
+    us = jnp.take(us_all, idx, axis=0)
+    cost = jnp.take(costs, idx, axis=0)
+    return accepted, xs, us, cost
+
+
+def solve(
+    model: RobotModel,
+    cp: CostParams,
+    cfg: ILQRConfig,
+    x0: jnp.ndarray,
+    win: ReferenceWindow,
+    ubar_init: jnp.ndarray,
+    xbar_init: jnp.ndarray | None = None,
+    reg0: jnp.ndarray | float | None = None,
+) -> ILQRSolution:
+    """Multi-iteration iLQR (iLQR::solve, ilqr.cpp:521-660), one jit graph.
+
+    The outer lax.while_loop carries (xbar, ubar, K, kff, cost, reg, iter,
+    done); each iteration re-rolls the nominal trajectory, linearizes,
+    quadraticizes, and runs an inner ≤2-attempt loop (backward pass + line
+    search, bumping λ×10 on failure) replicating the reference's retry
+    policy. Convergence: |Δcost| < tol; divergence: cost > 1e6; give-up:
+    two failed attempts at iter > 1.
+    """
+    nx, nu, N = model.nx, model.nu, cfg.N
+    dtype = x0.dtype
+    if xbar_init is None:
+        xbar_init = rollout(model, cfg, x0, ubar_init)
+    reg = jnp.asarray(cfg.reg_init if reg0 is None else reg0, dtype=dtype)
+
+    cost0 = trajectory_cost(model, cp, win, xbar_init, ubar_init, mode=cfg.cost_mode)
+
+    class Carry(NamedTuple):
+        xbar: jnp.ndarray
+        ubar: jnp.ndarray
+        K: jnp.ndarray
+        kff: jnp.ndarray
+        cost: jnp.ndarray
+        reg: jnp.ndarray
+        it: jnp.ndarray
+        done: jnp.ndarray
+        ever_accepted: jnp.ndarray
+
+    init = Carry(
+        xbar=xbar_init,
+        ubar=ubar_init,
+        K=jnp.zeros((N, nu, nx), dtype),
+        kff=jnp.zeros((N, nu), dtype),
+        cost=cost0,
+        reg=reg,
+        it=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool),
+        ever_accepted=jnp.zeros((), bool),
+    )
+
+    def cond(c: Carry):
+        return (~c.done) & (c.it < cfg.max_iterations)
+
+    def body(c: Carry) -> Carry:
+        xbar = rollout(model, cfg, x0, c.ubar)  # forwardRolloutNominal
+        A, B = linearize(model, cfg, xbar, c.ubar)
+        quad = quadraticize(model, cp, win, xbar, c.ubar)
+        baseline = trajectory_cost(model, cp, win, xbar, c.ubar, mode=cfg.cost_mode)
+
+        class Att(NamedTuple):
+            attempt: jnp.ndarray
+            reg: jnp.ndarray
+            ok: jnp.ndarray
+            K: jnp.ndarray
+            kff: jnp.ndarray
+            xs: jnp.ndarray
+            us: jnp.ndarray
+            cost: jnp.ndarray
+
+        def att_cond(a: Att):
+            return (~a.ok) & (a.attempt < 2)
+
+        def att_body(a: Att) -> Att:
+            K, kff = backward_pass(A, B, quad, a.reg, cfg.pd_bump)
+            ok, xs, us, cost = line_search(
+                model, cp, cfg, win, x0, xbar, c.ubar, K, kff, baseline
+            )
+            reg_next = jnp.where(ok, a.reg, jnp.minimum(a.reg * 10.0, cfg.reg_max))
+            return Att(a.attempt + 1, reg_next, ok, K, kff, xs, us, cost)
+
+        a0 = Att(
+            attempt=jnp.zeros((), jnp.int32),
+            reg=c.reg,
+            ok=jnp.zeros((), bool),
+            K=c.K,
+            kff=c.kff,
+            xs=xbar,
+            us=c.ubar,
+            cost=baseline,
+        )
+        a = jax.lax.while_loop(att_cond, att_body, a0)
+
+        new_cost = jnp.where(a.ok, a.cost, c.cost)
+        new_ubar = jnp.where(a.ok, a.us, c.ubar)
+        new_xbar = jnp.where(a.ok, a.xs, xbar)
+        new_reg = jnp.where(a.ok, jnp.maximum(a.reg / 2.0, cfg.reg_min), a.reg)
+
+        give_up = (~a.ok) & (c.it > 1)
+        delta = jnp.abs(new_cost - c.cost)
+        converged = a.ok & (delta < cfg.tolerance)
+        diverged = a.ok & (new_cost > cfg.divergence_threshold)
+        return Carry(
+            xbar=new_xbar,
+            ubar=new_ubar,
+            K=a.K,
+            kff=a.kff,
+            cost=new_cost,
+            reg=new_reg,
+            it=c.it + 1,
+            done=give_up | converged | diverged,
+            ever_accepted=c.ever_accepted | a.ok,
+        )
+
+    c = jax.lax.while_loop(cond, body, init)
+    return ILQRSolution(
+        xbar=c.xbar,
+        ubar=c.ubar,
+        K=c.K,
+        kff=c.kff,
+        cost=c.cost,
+        iterations=c.it,
+        reg=c.reg,
+        success=jnp.isfinite(c.cost),
+    )

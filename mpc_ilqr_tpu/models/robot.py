@@ -80,6 +80,14 @@ class RobotModel(struct.PyTreeNode):
     def ncp(self) -> int:
         return len(self.cp_body_idx)
 
+    @property
+    def has_free_base(self) -> bool:
+        return JNT_FREE in self.body_jnt_type
+
+    @property
+    def n_ee(self) -> int:
+        return len(self.ee_body_idx)
+
     def body_index(self, name: str) -> int:
         return self.body_names.index(name)
 

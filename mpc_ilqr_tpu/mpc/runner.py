@@ -1,0 +1,162 @@
+"""Closed-loop simulation driver (reference main/humanoid_mpc.cpp).
+
+setup() mirrors setupSimulation (humanoid_mpc.cpp:94-118); run_simulation
+mirrors runSimulation (humanoid_mpc.cpp:122-190): per step — NaN-guard the
+state, MPC step_once, gravity-comp fallback on failure (break after step 15),
+NaN-guard the control, advance the physics dt/physics_dt substeps, verbose
+print. The plant is the same differentiable engine the controller plans with
+(as the reference uses MuJoCo on both sides).
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_ilqr_tpu.costs.params import CostParams, build_cost_params
+from mpc_ilqr_tpu.costs.references import ReferenceSet, extract_window
+from mpc_ilqr_tpu.dynamics import engine
+from mpc_ilqr_tpu.ilqr.solver import ILQRConfig
+from mpc_ilqr_tpu.io import logging as iolog
+from mpc_ilqr_tpu.io import references as ioref
+from mpc_ilqr_tpu.io.config import AppConfig
+from mpc_ilqr_tpu.models.robot import RobotModel, load_robot, standing_state
+from mpc_ilqr_tpu.mpc import controller
+from mpc_ilqr_tpu.utils.profiling import Profiler
+
+
+class Problem(NamedTuple):
+    model: RobotModel
+    cp: CostParams
+    cfg: ILQRConfig
+    refs: ReferenceSet
+    app: AppConfig
+
+
+def setup(app: AppConfig) -> Problem:
+    """Build model, cost params, solver config and references from config."""
+    dtype = jnp.float64 if app.engine["dtype"] == "float64" else jnp.float32
+    ee_names = (app.ee_feet["left_feet_ee"], app.ee_feet["right_feet_ee"])
+    model = load_robot(
+        app.resolve(app.model_path),
+        ee_body_names=ee_names,
+        gravity=tuple(app.mpc.gravity),
+        timestep=app.mpc.physics_dt,
+        contact_stiffness=app.engine["contact_stiffness"],
+        contact_damping=app.engine["contact_damping"],
+        contact_friction=app.engine["contact_friction"],
+        dtype=dtype,
+    )
+    cp = build_cost_params(model, app.mpc.cost_weights, app.mpc.constraints, dtype=dtype)
+    n_substeps = max(1, round(app.mpc.dt / app.mpc.physics_dt))
+    cfg = ILQRConfig(
+        N=app.mpc.horizon,
+        max_iterations=int(app.engine["max_iterations"]),
+        tolerance=float(app.engine["tolerance"]),
+        cost_mode=app.engine["cost_mode"],
+        line_search=app.engine["line_search"],
+        n_substeps=n_substeps,
+    )
+    refs = ioref.load_reference_set(
+        model,
+        app.resolve(app.q_ref_path),
+        app.resolve(app.v_ref_path),
+        app.resolve(app.contact_schedule_path),
+        dtype=dtype,
+    )
+    return Problem(model=model, cp=cp, cfg=cfg, refs=refs, app=app)
+
+
+def run_simulation(
+    prob: Problem,
+    sim_steps: Optional[int] = None,
+    x0: Optional[jnp.ndarray] = None,
+    verbose: Optional[bool] = None,
+    profiler: Optional[Profiler] = None,
+    step_logger: Optional[iolog.StepLogger] = None,
+    traj_logger: Optional[iolog.OptimalTrajectoryLogger] = None,
+    sim_model: Optional[RobotModel] = None,
+):
+    """Run the closed-loop MPC sim; returns (history dict, final MPCState)."""
+    model, cp, cfg, refs, app = prob
+    sim_model = sim_model if sim_model is not None else model
+    sim_steps = sim_steps if sim_steps is not None else app.mpc.sim_steps
+    verbose = app.verbose if verbose is None else verbose
+    prof = profiler or Profiler(enabled=False)
+
+    x = standing_state(model) if x0 is None else x0
+    state = controller.init_state(model, cfg)
+
+    step_once = jax.jit(
+        functools.partial(controller.step_once, model, cp, cfg)
+    )
+    physics_substeps = max(1, round(app.mpc.dt / app.mpc.physics_dt))
+    plant_step = jax.jit(lambda xx, uu: engine.step(sim_model, xx, uu, physics_substeps))
+    grav_comp = jax.jit(lambda xx: engine.gravity_comp(sim_model, xx))
+
+    hist = {"x": [], "u": [], "cost": [], "solve_ms": [], "iterations": []}
+    consecutive_fail_break = False
+
+    for step_i in range(sim_steps):
+        xh = np.asarray(x)
+        if not np.isfinite(xh).all():
+            print(f"NaN detected in state at step {step_i}, breaking.")
+            break
+
+        t0 = time.perf_counter()
+        state, u_apply, diag = jax.block_until_ready(step_once(refs, state, x))
+        solve_ms = (time.perf_counter() - t0) * 1e3
+        prof.record("MPC_stepOnce", solve_ms)
+
+        ok = bool(diag.solve_ok)
+        if not ok:
+            # Gravity-compensation fallback (humanoid_mpc.cpp:153-160)
+            u_apply = grav_comp(x)
+            if step_i > 15:
+                consecutive_fail_break = True
+
+        if not np.isfinite(np.asarray(u_apply)).all():
+            u_apply = jnp.zeros_like(u_apply)
+
+        if step_logger is not None:
+            win_x_ref = np.asarray(refs.x[min(step_i, refs.length - 1)])
+            win_u_ref = np.asarray(refs.u[min(step_i, refs.length - 1)])
+            step_logger.log(
+                step_i + 1, app.mpc.dt, float(diag.cost), solve_ms, xh,
+                np.asarray(u_apply), win_x_ref, win_u_ref,
+            )
+        if traj_logger is not None:
+            traj_logger.log(
+                step_i + 1, app.mpc.dt,
+                np.asarray(state.prev_xbar[0][: model.nq]),
+                np.asarray(state.prev_ubar[0]),
+            )
+
+        x = plant_step(x, u_apply)
+
+        hist["x"].append(xh)
+        hist["u"].append(np.asarray(u_apply))
+        hist["cost"].append(float(diag.cost))
+        hist["solve_ms"].append(solve_ms)
+        hist["iterations"].append(int(diag.iterations))
+
+        if verbose:
+            u_np = np.asarray(u_apply)
+            print(
+                f"Step {step_i}/{sim_steps} | Cost: {float(diag.cost):.6g} | "
+                f"(X,Y,Z): ({xh[0]:.6g},{xh[1]:.6g},{xh[2]:.6g}) m | "
+                f"Control range: [{u_np.min():.6g}, {u_np.max():.6g}] | "
+                f"solve: {solve_ms:.2f} ms"
+            )
+        if consecutive_fail_break:
+            print(f"MPC failed at step {step_i}, aborting after fallback.")
+            break
+
+    for lg in (step_logger, traj_logger):
+        if lg is not None:
+            lg.close()
+    return hist, state
