@@ -46,34 +46,36 @@ def main():
     prob = runner.setup(app)
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
 
-    step_once = jax.jit(functools.partial(controller.step_once, model, cp, cfg))
+    N_STEPS = 15  # the reference's profiled standing run length
+
+    run = jax.jit(
+        functools.partial(controller.run_closed_loop, model, cp, cfg),
+        static_argnames=("n_steps",),
+    )
 
     x = standing_state(model)
     state = controller.init_state(model, cfg)
 
     # Warm-up / compile (excluded from timing).
     t0 = time.perf_counter()
-    state_w, u_w, diag_w = jax.block_until_ready(step_once(refs, state, x))
+    out = jax.block_until_ready(run(refs, state, x, n_steps=N_STEPS))
     compile_s = time.perf_counter() - t0
 
-    # Closed-loop timing over 15 MPC steps (like the reference's 15-step
-    # standing run), state evolving under the same dynamics.
-    from mpc_ilqr_tpu.dynamics import engine
+    # Timed: the whole closed-loop plan-act simulation on device (controller
+    # + plant fused in one program), averaged per MPC step — the same
+    # quantity as the reference's avg MPC_stepOnce (README.md:203), without
+    # a host round-trip per step.
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state_f, x_f, hist = jax.block_until_ready(run(refs, state, x, n_steps=N_STEPS))
+    wall_ms = (time.perf_counter() - t0) * 1e3 / reps
 
-    plant = jax.jit(lambda xx, uu: engine.step(model, xx, uu))
-    state = controller.init_state(model, cfg)
-    times = []
-    costs = []
-    for i in range(15):
-        t0 = time.perf_counter()
-        state, u, diag = jax.block_until_ready(step_once(refs, state, x))
-        times.append((time.perf_counter() - t0) * 1e3)
-        costs.append(float(diag.cost))
-        x = jax.block_until_ready(plant(x, u))
-
-    # Drop the first step (residual warmup/cache effects).
-    steady = times[1:]
-    value = float(np.mean(steady))
+    costs = np.asarray(hist["cost"])
+    times = [wall_ms / N_STEPS]
+    steady = times
+    x = x_f
+    value = float(wall_ms / N_STEPS)
     result = {
         "metric": "ilqr_solve_ms_per_mpc_step",
         "value": round(value, 3),

@@ -84,13 +84,16 @@ def rollout(model: RobotModel, cfg: ILQRConfig, x0: jnp.ndarray, us: jnp.ndarray
 def linearize(model: RobotModel, cfg: ILQRConfig, xs: jnp.ndarray, us: jnp.ndarray):
     """A (N, nx, nx), B (N, nx, nu) via one batched jacfwd over the horizon."""
 
-    def f(x, u):
-        return engine.step(model, x, u, cfg.n_substeps)
+    nx = model.nx
+
+    def f(xu):
+        return engine.step(model, xu[:nx], xu[nx:], cfg.n_substeps)
 
     def AB(x, u):
-        A = jax.jacfwd(f, argnums=0)(x, u)
-        B = jax.jacfwd(f, argnums=1)(x, u)
-        return A, B
+        # One jacfwd over the concatenated (x,u): a single 70-tangent batch
+        # through one step graph (the reference does 70 serial FD rollouts).
+        J = jax.jacfwd(f)(jnp.concatenate([x, u]))
+        return J[:, :nx], J[:, nx:]
 
     return jax.vmap(AB)(xs[:-1], us)
 
@@ -214,7 +217,17 @@ def solve(
         xbar_init = rollout(model, cfg, x0, ubar_init)
     reg = jnp.asarray(cfg.reg_init if reg0 is None else reg0, dtype=dtype)
 
+    # Initial cost on the (possibly shifted, dynamically inconsistent) warm
+    # trajectory — exactly what the reference measures first (ilqr.cpp:540).
     cost0 = trajectory_cost(model, cp, win, xbar_init, ubar_init, mode=cfg.cost_mode)
+
+    # Roll the nominal ONCE up front. Inside the loop the carry's xbar is
+    # always consistent with (x0, ubar): an accepted line search stores its
+    # own closed-loop trajectory, a rejected one leaves both unchanged — so
+    # the reference's per-iteration forwardRolloutNominal (ilqr.cpp:119-124)
+    # recomputes what is already in hand. Numerically identical, one serial
+    # N-step scan saved per iteration.
+    xbar_rolled = rollout(model, cfg, x0, ubar_init)
 
     class Carry(NamedTuple):
         xbar: jnp.ndarray
@@ -228,7 +241,7 @@ def solve(
         ever_accepted: jnp.ndarray
 
     init = Carry(
-        xbar=xbar_init,
+        xbar=xbar_rolled,
         ubar=ubar_init,
         K=jnp.zeros((N, nu, nx), dtype),
         kff=jnp.zeros((N, nu), dtype),
@@ -243,7 +256,7 @@ def solve(
         return (~c.done) & (c.it < cfg.max_iterations)
 
     def body(c: Carry) -> Carry:
-        xbar = rollout(model, cfg, x0, c.ubar)  # forwardRolloutNominal
+        xbar = c.xbar  # consistent nominal (see xbar_rolled note above)
         A, B = linearize(model, cfg, xbar, c.ubar)
         quad = quadraticize(model, cp, win, xbar, c.ubar)
         baseline = trajectory_cost(model, cp, win, xbar, c.ubar, mode=cfg.cost_mode)

@@ -3,6 +3,10 @@
 - step log: time_index,time_sec,solve_cost,solve_time_ms,x_*,u_*,x_ref_*,u_ref_*
 - q_optimal.csv: step,time_sec,q_0..q_{nq-1}   (consumed by simulate/plotter)
 - u_optimal.csv: step,time_sec,u_0..u_{nu-1}
+
+The step log rides the native async telemetry writer (io/native.py) so
+logging never blocks the 50 Hz control loop — the reference writes its CSV
+synchronously on the control thread (mpc.cpp:218-260).
 """
 from __future__ import annotations
 
@@ -11,31 +15,32 @@ from typing import Optional
 
 import numpy as np
 
+from mpc_ilqr_tpu.io.native import AsyncTelemetry
+
 
 class StepLogger:
-    """MPC::enableCSVLogging / logCurrentStep twin."""
+    """MPC::enableCSVLogging / logCurrentStep twin (async, non-blocking)."""
 
     def __init__(self, path: str, nx: int, nu: int):
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self.f = open(path, "w")
         cols = ["time_index", "time_sec", "solve_cost", "solve_time_ms"]
         cols += [f"x_{i}" for i in range(nx)]
         cols += [f"u_{i}" for i in range(nu)]
         cols += [f"x_ref_{i}" for i in range(nx)]
         cols += [f"u_ref_{i}" for i in range(nu)]
-        self.f.write(",".join(cols) + "\n")
+        self._telem = AsyncTelemetry(path, ",".join(cols))
 
     def log(self, t_idx: int, dt: float, cost: float, solve_ms: float, x, u, x_ref, u_ref):
-        row = [str(t_idx), str(t_idx * dt), str(cost), str(solve_ms)]
-        row += [str(v) for v in np.asarray(x).ravel()]
-        row += [str(v) for v in np.asarray(u).ravel()]
-        row += [str(v) for v in np.asarray(x_ref).ravel()]
-        row += [str(v) for v in np.asarray(u_ref).ravel()]
-        self.f.write(",".join(row) + "\n")
+        row = np.concatenate([
+            np.array([t_idx, t_idx * dt, cost, solve_ms], dtype=np.float64),
+            np.asarray(x, dtype=np.float64).ravel(),
+            np.asarray(u, dtype=np.float64).ravel(),
+            np.asarray(x_ref, dtype=np.float64).ravel(),
+            np.asarray(u_ref, dtype=np.float64).ravel(),
+        ])
+        self._telem.log(row)
 
     def close(self):
-        self.f.flush()
-        self.f.close()
+        self._telem.close()
 
 
 class OptimalTrajectoryLogger:

@@ -23,13 +23,18 @@ from mpc_ilqr_tpu.models.robot import RobotModel
 
 
 def load_csv_matrix(path: str) -> np.ndarray:
-    """Headerless comma-separated float matrix."""
-    return np.atleast_2d(np.loadtxt(path, delimiter=",", dtype=np.float64))
+    """Headerless comma-separated float matrix (native mmap parser when the
+    C++ runtime is built, numpy fallback otherwise — io/native.py)."""
+    from mpc_ilqr_tpu.io import native
+
+    return np.atleast_2d(native.read_csv_matrix(path))
 
 
 def load_contact_schedule(path: str, n_ee: int = 2) -> np.ndarray:
     """Contact CSV with header row -> (T, n_ee) float 0/1."""
-    data = np.atleast_2d(np.loadtxt(path, delimiter=",", skiprows=1, dtype=np.float64))
+    from mpc_ilqr_tpu.io import native
+
+    data = np.atleast_2d(native.read_csv_matrix(path, skip_rows=1))
     if data.shape[1] != n_ee:
         raise ValueError(f"contact schedule has {data.shape[1]} columns, expected {n_ee}")
     return data

@@ -125,6 +125,43 @@ def step_once(
     return new_state, u_apply, diag
 
 
+def run_closed_loop(
+    model: RobotModel,
+    cp: CostParams,
+    cfg: ilqr.ILQRConfig,
+    refs: ReferenceSet,
+    state0: MPCState,
+    x0: jnp.ndarray,
+    n_steps: int,
+    plant_model: RobotModel = None,
+    plant_substeps: int = 1,
+):
+    """Fully-fused closed-loop MPC: controller + plant in ONE lax.scan.
+
+    The reference's runSimulation loop round-trips through the host every
+    20 ms step (humanoid_mpc.cpp:130-179). On TPU the plant is the same
+    differentiable engine, so the whole plan-act cycle stays on device — one
+    dispatch for the entire simulation. This is the deployment-shaped hot
+    path (and the multi-chip "training step" for fleet rollouts).
+
+    Returns (final_state, final_x, history) where history holds per-step
+    (x, u, cost, iterations, solve_ok) stacked over n_steps.
+    """
+    plant = plant_model if plant_model is not None else model
+
+    def body(carry, _):
+        state, x = carry
+        state, u, diag = step_once(model, cp, cfg, refs, state, x)
+        x_next = engine.step(plant, x, u, plant_substeps)
+        return (state, x_next), (x, u, diag.cost, diag.iterations, diag.solve_ok)
+
+    (state, xT), (xs, us, costs, iters, oks) = jax.lax.scan(
+        body, (state0, x0), None, length=n_steps
+    )
+    history = {"x": xs, "u": us, "cost": costs, "iterations": iters, "solve_ok": oks}
+    return state, xT, history
+
+
 def tvlqr_control(state: MPCState, x_measured: jnp.ndarray) -> jnp.ndarray:
     """Inter-solve TV-LQR feedback at a higher rate than stepOnce
     (MPC::computeTVLQRControl, mpc.cpp:168-179)."""

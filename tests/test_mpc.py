@@ -1,0 +1,114 @@
+"""MPC controller tests: closed-loop standing, warm start, reset, TV-LQR,
+checkpointability of the carry (SURVEY §5 checkpoint/resume)."""
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_ilqr_tpu.costs.params import build_cost_params
+from mpc_ilqr_tpu.dynamics import engine
+from mpc_ilqr_tpu.ilqr.solver import ILQRConfig
+from mpc_ilqr_tpu.io.config import load_config
+from mpc_ilqr_tpu.io.references import load_reference_set
+from mpc_ilqr_tpu.models.robot import load_h1, standing_state
+from mpc_ilqr_tpu.mpc import controller
+
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def prob():
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    model = load_h1(gravity=tuple(app.mpc.gravity), timestep=0.02, dtype=jnp.float32)
+    cp = build_cost_params(model, app.mpc.cost_weights, app.mpc.constraints, dtype=jnp.float32)
+    # Small horizon / iteration budget: keeps CPU compile time testable.
+    cfg = ILQRConfig(N=6, max_iterations=3)
+    refs = load_reference_set(
+        model,
+        os.path.join(ROOT, "data/q_standing.csv"),
+        os.path.join(ROOT, "data/v_standing.csv"),
+        os.path.join(ROOT, "data/contact_standing.csv"),
+        dtype=jnp.float32,
+    )
+    step_once = jax.jit(functools.partial(controller.step_once, model, cp, cfg))
+    return model, cp, cfg, refs, step_once
+
+
+def test_closed_loop_standing(prob):
+    model, cp, cfg, refs, step_once = prob
+    x = standing_state(model)
+    state = controller.init_state(model, cfg)
+    plant = jax.jit(lambda xx, uu: engine.step(model, xx, uu))
+    costs = []
+    for i in range(8):
+        state, u, diag = step_once(refs, state, x)
+        assert bool(diag.solve_ok), f"solve failed at step {i}"
+        x = plant(x, u)
+        costs.append(float(diag.cost))
+        assert np.isfinite(np.asarray(x)).all()
+    # Base stays near standing height, cost decreases overall.
+    assert 1.0 < float(x[2]) < 1.1
+    assert costs[-1] < costs[0]
+    # t_idx advanced, warm start engaged
+    assert int(state.t_idx) == 8
+    assert bool(state.has_prev)
+
+
+def test_reset(prob):
+    model, cp, cfg, refs, step_once = prob
+    state = controller.init_state(model, cfg)
+    x = standing_state(model)
+    state, _, _ = step_once(refs, state, x)
+    state = controller.reset(state, cfg)
+    assert int(state.t_idx) == 0
+    assert not bool(state.has_prev)
+    assert float(jnp.abs(state.prev_ubar).max()) == 0.0
+
+
+def test_tvlqr_between_solves(prob):
+    """computeTVLQRControl semantics (mpc.cpp:168-179): zero without a
+    previous solution, first-gain feedback with one."""
+    model, cp, cfg, refs, step_once = prob
+    x = standing_state(model)
+    state = controller.init_state(model, cfg)
+    u0 = controller.tvlqr_control(state, x)
+    assert float(jnp.abs(u0).max()) == 0.0
+    state, u_apply, _ = step_once(refs, state, x)
+    u1 = controller.tvlqr_control(state, x)
+    expect = state.prev_ubar[0] + state.prev_K[0] @ (x - state.prev_xbar[0])
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(expect), rtol=1e-5)
+
+
+def test_state_checkpoint_roundtrip(prob):
+    """The MPC carry is an explicit pytree -> trivially checkpointable
+    (the reference's warm-start store is process-memory only)."""
+    model, cp, cfg, refs, step_once = prob
+    x = standing_state(model)
+    state = controller.init_state(model, cfg)
+    state, _, _ = step_once(refs, state, x)
+
+    flat, treedef = jax.tree.flatten(state)
+    blobs = [np.asarray(l) for l in flat]  # "serialize"
+    restored = jax.tree.unflatten(treedef, [jnp.asarray(b) for b in blobs])
+
+    # Continuing from the restored state gives the identical next step.
+    s1, u1, d1 = step_once(refs, state, x)
+    s2, u2, d2 = step_once(refs, restored, x)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(s1.prev_ubar), np.asarray(s2.prev_ubar))
+
+
+def test_failure_fallback_zero_control(prob):
+    """NaN measured state must not produce NaN control (mpc.cpp:82-91 +
+    humanoid_mpc.cpp:162-165 fallbacks)."""
+    model, cp, cfg, refs, step_once = prob
+    x_bad = standing_state(model).at[0].set(jnp.nan)
+    state = controller.init_state(model, cfg)
+    state, u, diag = step_once(refs, state, x_bad)
+    assert not bool(diag.solve_ok)
+    assert np.isfinite(np.asarray(u)).all()  # fallback control is finite (zeros)

@@ -1,0 +1,88 @@
+"""Fleet vmap + device-mesh sharding tests (runs on the 8-device virtual CPU
+mesh from conftest)."""
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpc_ilqr_tpu.costs.params import build_cost_params
+from mpc_ilqr_tpu.ilqr.solver import ILQRConfig
+from mpc_ilqr_tpu.io.config import load_config
+from mpc_ilqr_tpu.io.references import load_reference_set
+from mpc_ilqr_tpu.models.robot import load_h1, standing_state
+from mpc_ilqr_tpu.parallel import fleet as fleet_mod
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tiny_problem():
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    model = load_h1(gravity=(0, 0, -1.0), timestep=0.02, dtype=jnp.float32)
+    cp = build_cost_params(model, app.mpc.cost_weights, app.mpc.constraints, dtype=jnp.float32)
+    cfg = ILQRConfig(N=3, max_iterations=1)
+    refs = load_reference_set(
+        model,
+        os.path.join(ROOT, "data/q_standing.csv"),
+        os.path.join(ROOT, "data/v_standing.csv"),
+        dtype=jnp.float32,
+    )
+    return model, cp, cfg, refs
+
+
+def test_domain_randomization_shapes(tiny_problem):
+    model, cp, cfg, refs = tiny_problem
+    n = 8
+    models = fleet_mod.randomized_models(model, jax.random.PRNGKey(0), n)
+    assert models.body_mass.shape == (n, model.nbody)
+    assert models.contact_friction.shape == (n,)
+    # masses actually differ across instances
+    assert float(jnp.std(models.body_mass[:, 0])) > 0.0
+    # static structure shared
+    assert models.nq == model.nq
+
+
+def test_fleet_vmap_step(tiny_problem):
+    model, cp, cfg, refs = tiny_problem
+    n = 4
+    models = fleet_mod.randomized_models(model, jax.random.PRNGKey(1), n)
+    states = fleet_mod.fleet_init(models, cfg, n)
+    xs = jnp.tile(standing_state(model)[None], (n, 1))
+    step = jax.jit(lambda m, s, x: fleet_mod.fleet_step_once(m, cp, cfg, refs, s, x))
+    states2, us, diag = step(models, states, xs)
+    assert us.shape == (n, model.nu)
+    assert np.isfinite(np.asarray(us)).all()
+    assert np.asarray(diag.solve_ok).all()
+    # Different masses -> different gravity-comp torques -> different controls.
+    assert float(jnp.std(us[:, 0])) > 0.0
+
+
+def test_fleet_sharded_over_mesh(tiny_problem):
+    """The fleet axis sharded over a (dp, ls) mesh must reproduce the
+    single-device vmap result — sharding is a layout, not a semantic."""
+    model, cp, cfg, refs = tiny_problem
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest must provide 8 virtual CPU devices"
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "ls"))
+
+    n = 8
+    models = fleet_mod.randomized_models(model, jax.random.PRNGKey(2), n)
+    states = fleet_mod.fleet_init(models, cfg, n)
+    xs = jnp.tile(standing_state(model)[None], (n, 1))
+
+    step = jax.jit(lambda m, s, x: fleet_mod.fleet_step_once(m, cp, cfg, refs, s, x))
+    _, us_local, diag_local = jax.block_until_ready(step(models, states, xs))
+
+    sh = NamedSharding(mesh, P(("dp", "ls")))
+    shard = lambda t: jax.tree.map(lambda l: jax.device_put(l, sh), t)
+    with mesh:
+        _, us_sharded, diag_sharded = jax.block_until_ready(
+            step(shard(models), shard(states), shard(xs))
+        )
+    np.testing.assert_allclose(np.asarray(us_local), np.asarray(us_sharded), atol=1e-3)  # f32 reduction-order noise across compilations
+    # outputs actually live sharded across devices
+    assert len(us_sharded.sharding.device_set) == 8
