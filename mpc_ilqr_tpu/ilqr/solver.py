@@ -57,6 +57,7 @@ class ILQRConfig:
     cost_mode: str = "reference"  # "reference" | "full" (see costs/terms.py)
     n_substeps: int = 1  # physics substeps per horizon step (dt/physics_dt)
     line_search: str = "first_accept"  # or "argmin" (best alpha, TPU-free lunch)
+    backward: str = "scan"  # "scan" (lax.scan) | "pallas" (ops/riccati.py kernel)
 
 
 class ILQRSolution(NamedTuple):
@@ -275,7 +276,16 @@ def solve(
             return (~a.ok) & (a.attempt < 2)
 
         def att_body(a: Att) -> Att:
-            K, kff = backward_pass(A, B, quad, a.reg, cfg.pd_bump)
+            if cfg.backward == "pallas":
+                from mpc_ilqr_tpu.ops.riccati import backward_pass_pallas
+
+                interp = jax.default_backend() not in ("tpu", "axon")
+                K, kff = backward_pass_pallas(
+                    A, B, quad.lx, quad.lu, quad.lxx, quad.luu, a.reg,
+                    cfg.pd_bump, interpret=interp,
+                )
+            else:
+                K, kff = backward_pass(A, B, quad, a.reg, cfg.pd_bump)
             ok, xs, us, cost = line_search(
                 model, cp, cfg, win, x0, xbar, c.ubar, K, kff, baseline
             )

@@ -57,6 +57,7 @@ _ENGINE_DEFAULTS = dict(
     max_iterations=10,
     tolerance=1e-4,
     dtype="float32",
+    backward="scan",  # "scan" | "pallas" (ops/riccati.py one-launch kernel)
 )
 
 

@@ -60,6 +60,7 @@ def setup(app: AppConfig) -> Problem:
         cost_mode=app.engine["cost_mode"],
         line_search=app.engine["line_search"],
         n_substeps=n_substeps,
+        backward=app.engine.get("backward", "scan"),
     )
     refs = ioref.load_reference_set(
         model,

@@ -1,0 +1,49 @@
+"""Pallas kernel tests (interpret mode on CPU): the one-launch Riccati
+kernel must reproduce the lax.scan backward pass to f32 round-off."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_ilqr_tpu.costs.quadratics import CostQuadratics
+from mpc_ilqr_tpu.ilqr.solver import backward_pass
+from mpc_ilqr_tpu.ops.riccati import backward_pass_pallas
+
+RNG = np.random.default_rng(42)
+
+
+def random_problem(N=10, nx=51, nu=19):
+    A = jnp.asarray(
+        np.eye(nx) + 0.02 * RNG.normal(size=(N, nx, nx)), dtype=jnp.float32
+    )
+    B = jnp.asarray(0.02 * RNG.normal(size=(N, nx, nu)), dtype=jnp.float32)
+    lx = jnp.asarray(RNG.normal(size=(N + 1, nx)), dtype=jnp.float32)
+    lu = jnp.asarray(RNG.normal(size=(N, nu)), dtype=jnp.float32)
+    Qd = RNG.uniform(1.0, 5.0, size=(N + 1, nx))
+    Rd = RNG.uniform(0.1, 1.0, size=(N, nu))
+    lxx = jnp.asarray(np.einsum("ti,ij->tij", Qd, np.eye(nx)), dtype=jnp.float32)
+    luu = jnp.asarray(np.einsum("ti,ij->tij", Rd, np.eye(nu)), dtype=jnp.float32)
+    return A, B, CostQuadratics(lx=lx, lu=lu, lxx=lxx, luu=luu)
+
+
+def test_pallas_riccati_matches_scan():
+    A, B, quad = random_problem()
+    reg = jnp.float32(1e-6)
+    K_s, k_s = backward_pass(A, B, quad, reg, 1e-4)
+    K_p, k_p = backward_pass_pallas(
+        A, B, quad.lx, quad.lu, quad.lxx, quad.luu, reg, 1e-4, interpret=True
+    )
+    assert K_p.shape == K_s.shape and k_p.shape == k_s.shape
+    np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_s), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_s), rtol=2e-3, atol=2e-4)
+
+
+def test_pallas_riccati_nonpower_sizes():
+    """Odd sizes exercise the padding paths."""
+    A, B, quad = random_problem(N=4, nx=13, nu=5)
+    reg = jnp.float32(1e-5)
+    K_s, k_s = backward_pass(A, B, quad, reg, 1e-4)
+    K_p, k_p = backward_pass_pallas(
+        A, B, quad.lx, quad.lu, quad.lxx, quad.luu, reg, 1e-4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_s), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_s), rtol=2e-3, atol=2e-4)

@@ -1,0 +1,214 @@
+#!/usr/bin/env python3
+"""Benchmark suite — all five BASELINE.json configs.
+
+Each config prints one JSON line (same schema as bench.py):
+  standing      fused closed-loop standing MPC, ms/step (= bench.py headline)
+  walking       fused closed-loop walking MPC (contact schedule), ms/step
+  linesearch    16 alphas × 8 warm-start seeds batched per iteration, solves/s
+  long_horizon  N=100 @ 100 Hz replanning, ms/step
+  fleet         1024 domain-randomized H1 instances, one fleet MPC step,
+                instance·steps/s
+
+Usage: python tools/bench_suite.py [--config NAME|all] [--steps K] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+
+REFERENCE_MS = 2472.80  # reference avg MPC step (README.md:203)
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def _setup(standing: bool, **cfg_overrides):
+    import jax.numpy as jnp
+
+    from mpc_ilqr_tpu.io.config import load_config
+    from mpc_ilqr_tpu.mpc import runner
+
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    if standing:
+        app.q_ref_path = "data/q_standing.csv"
+        app.v_ref_path = "data/v_standing.csv"
+        app.contact_schedule_path = "data/contact_standing.csv"
+    prob = runner.setup(app)
+    if cfg_overrides:
+        prob = prob._replace(cfg=dataclasses.replace(prob.cfg, **cfg_overrides))
+    return prob
+
+
+def _timed_loop(prob, n_steps, reps=3):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpc_ilqr_tpu.models.robot import standing_state
+    from mpc_ilqr_tpu.mpc import controller
+
+    model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
+    run = jax.jit(
+        functools.partial(controller.run_closed_loop, model, cp, cfg),
+        static_argnames=("n_steps",),
+    )
+    x = standing_state(model)
+    state = controller.init_state(model, cfg)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(run(refs, state, x, n_steps=n_steps))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, xf, hist = jax.block_until_ready(run(refs, state, x, n_steps=n_steps))
+    ms_per_step = (time.perf_counter() - t0) * 1e3 / reps / n_steps
+    return ms_per_step, compile_s, hist, xf
+
+
+def bench_standing(args):
+    prob = _setup(standing=True)
+    ms, compile_s, hist, xf = _timed_loop(prob, args.steps)
+    _emit("standing_mpc_ms_per_step", ms, "ms", REFERENCE_MS / ms,
+          compile_s=compile_s, final_cost=float(hist["cost"][-1]), base_z=float(xf[2]))
+
+
+def bench_walking(args):
+    prob = _setup(standing=False)
+    ms, compile_s, hist, xf = _timed_loop(prob, args.steps)
+    _emit("walking_mpc_ms_per_step", ms, "ms", REFERENCE_MS / ms,
+          compile_s=compile_s, final_cost=float(hist["cost"][-1]), base_z=float(xf[2]))
+
+
+def bench_linesearch(args):
+    """16 alphas × 8 warm-start seeds, all in one batched solve call."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpc_ilqr_tpu.costs.references import extract_window
+    from mpc_ilqr_tpu.ilqr import solver as ilqr
+    from mpc_ilqr_tpu.dynamics import engine
+    from mpc_ilqr_tpu.models.robot import standing_state
+
+    alphas16 = tuple(float(a) for a in (1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3,
+                                        0.2, 0.15, 0.1, 0.07, 0.05, 0.03, 0.02, 0.01))
+    prob = _setup(standing=True, alphas=alphas16, max_iterations=3)
+    model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
+    x0 = standing_state(model)
+    win = extract_window(refs, jnp.zeros((), jnp.int32), cfg.N)
+    u_grav = engine.gravity_comp(model, x0)
+    key = jax.random.PRNGKey(0)
+    seeds = u_grav[None, None, :] + 0.5 * jax.random.normal(
+        key, (8, cfg.N, model.nu), dtype=x0.dtype
+    )
+
+    solve8 = jax.jit(jax.vmap(lambda u0: ilqr.solve(model, cp, cfg, x0, win, u0)))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(solve8(seeds))
+    compile_s = time.perf_counter() - t0
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sol = jax.block_until_ready(solve8(seeds))
+    dt = (time.perf_counter() - t0) / reps
+    solves_per_s = 8 / dt
+    _emit("batched_linesearch_solves_per_s", solves_per_s, "solves/s",
+          solves_per_s / (1000.0 / REFERENCE_MS), compile_s=compile_s,
+          mean_cost=float(np.mean(np.asarray(sol.cost))))
+
+
+def bench_long_horizon(args):
+    """N=100 @ 100 Hz (dt=0.01) replanning stress (Riccati scan depth)."""
+    import dataclasses as dc
+
+    prob = _setup(standing=True, N=100)
+    # 100 Hz: rebuild model timestep
+    model = prob.model.replace()  # timestep is static; rebuild via loader
+    from mpc_ilqr_tpu.io.config import load_config
+    from mpc_ilqr_tpu.mpc import runner
+
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    app.q_ref_path = "data/q_standing.csv"
+    app.v_ref_path = "data/v_standing.csv"
+    app.contact_schedule_path = "data/contact_standing.csv"
+    app.mpc.dt = 0.01
+    app.mpc.physics_dt = 0.01
+    app.mpc.horizon = 100
+    prob = runner.setup(app)
+    ms, compile_s, hist, xf = _timed_loop(prob, max(4, args.steps // 3), reps=2)
+    _emit("long_horizon_N100_ms_per_step", ms, "ms", REFERENCE_MS / ms,
+          compile_s=compile_s, base_z=float(xf[2]))
+
+
+def bench_fleet(args):
+    """1024 domain-randomized H1 instances, one fused fleet MPC step."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpc_ilqr_tpu.models.robot import standing_state
+    from mpc_ilqr_tpu.parallel import fleet as fleet_mod
+
+    n = args.fleet
+    prob = _setup(standing=True, max_iterations=2)
+    model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
+    models = fleet_mod.randomized_models(model, jax.random.PRNGKey(0), n)
+    states = fleet_mod.fleet_init(models, cfg, n)
+    xs = jnp.tile(standing_state(model)[None], (n, 1))
+    step = jax.jit(lambda m, s, x: fleet_mod.fleet_step_once(m, cp, cfg, refs, s, x))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(step(models, states, xs))
+    compile_s = time.perf_counter() - t0
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s2, us, diag = jax.block_until_ready(step(models, states, xs))
+    dt = (time.perf_counter() - t0) / reps
+    inst_steps_per_s = n / dt
+    _emit("fleet_mpc_instance_steps_per_s", inst_steps_per_s, "steps/s",
+          inst_steps_per_s / (1000.0 / REFERENCE_MS), compile_s=compile_s,
+          fleet=n, ok=int(np.sum(np.asarray(diag.solve_ok))))
+
+
+def _emit(metric, value, unit, vs_baseline, **extra):
+    print(f"# {extra}", file=sys.stderr)
+    print(json.dumps({
+        "metric": metric, "value": round(float(value), 3), "unit": unit,
+        "vs_baseline": round(float(vs_baseline), 2),
+    }), flush=True)
+
+
+CONFIGS = {
+    "standing": bench_standing,
+    "walking": bench_walking,
+    "linesearch": bench_linesearch,
+    "long_horizon": bench_long_horizon,
+    "fleet": bench_fleet,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="all", choices=list(CONFIGS) + ["all"])
+    ap.add_argument("--steps", type=int, default=15)
+    ap.add_argument("--fleet", type=int, default=1024)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    names = list(CONFIGS) if args.config == "all" else [args.config]
+    for name in names:
+        print(f"# --- {name} ---", file=sys.stderr)
+        CONFIGS[name](args)
+
+
+if __name__ == "__main__":
+    main()
