@@ -281,6 +281,22 @@ def load_h1(
     )
 
 
+def scale_robot_mass(model: RobotModel, factor: float) -> RobotModel:
+    """Fault-injection knob: uniformly scale all body masses and inertias
+    (RobotUtils::scaleRobotMass, robot_utils.cpp:835-842 — the reference
+    scales masses only; inertias scale with them here for physical
+    consistency)."""
+    return model.replace(
+        body_mass=model.body_mass * factor,
+        body_inertia=model.body_inertia * factor,
+    )
+
+
+def set_gravity(model: RobotModel, gx: float, gy: float, gz: float) -> RobotModel:
+    """RobotUtils::setGravity (robot_utils.cpp:782-789) as a pure update."""
+    return model.replace(gravity=jnp.asarray([gx, gy, gz], model.gravity.dtype))
+
+
 def standing_state(model: RobotModel, height: float = 1.0432) -> jnp.ndarray:
     """The reference's standing initial state: zeros except z and qw
     (robot_utils.cpp:557-596)."""

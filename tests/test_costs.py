@@ -1,0 +1,150 @@
+"""Cost-library correctness: AD quadratics vs finite differences (the
+reference's own FD recipe, robot_utils.cpp:120-160, is the oracle pattern),
+hand-computed term values, gating semantics, Q/R/Qf construction parity."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_ilqr_tpu.costs import terms
+from mpc_ilqr_tpu.costs.params import build_cost_params
+from mpc_ilqr_tpu.costs.quadratics import quadraticize
+from mpc_ilqr_tpu.costs.references import ReferenceWindow
+from mpc_ilqr_tpu.io.config import load_config
+from mpc_ilqr_tpu.models.robot import load_h1, standing_state
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    model = load_h1(gravity=(0, 0, -1.0), timestep=0.02, dtype=jnp.float64)
+    cp = build_cost_params(model, app.mpc.cost_weights, app.mpc.constraints, dtype=jnp.float64)
+    return model, cp, app
+
+
+def test_qrqf_construction(setup):
+    """Q/R/Qf diagonals must reproduce Config::buildCostMatrices
+    (config.cpp:66-122) element by element."""
+    model, cp, app = setup
+    w = app.mpc.cost_weights
+    nq = model.nq
+    Q = np.asarray(cp.Q)
+    assert Q[0] == w["Q_position_x"] and Q[1] == w["Q_position_y"] and Q[2] == w["Q_position_z"]
+    assert Q[3] == w["Q_quat_w"]
+    assert list(Q[4:7]) == w["Q_quat_xyz"]
+    assert np.all(Q[7:nq] == w["Q_joint_pos"])
+    assert Q[nq] == w["Q_vel_x"] and Q[nq + 2] == w["Q_vel_z"]
+    assert np.all(Q[nq + 3 : nq + 6] == w["Q_ang_vel"])
+    assert np.all(Q[nq + 6 :] == w["Q_joint_vel"])
+    assert np.all(np.asarray(cp.R) == w["R_control"])
+    Qf = np.asarray(cp.Qf)
+    assert Qf[0] == Q[0] * w["Qf_multiplier"] * w["Qf_position_x"]
+    assert Qf[2] == Q[2] * w["Qf_multiplier"] * w["Qf_position_z"]
+    assert Qf[nq + 2] == Q[nq + 2] * w["Qf_multiplier"] * w["Qf_vel_z"]
+    assert Qf[7] == Q[7] * w["Qf_multiplier"]  # plain multiplier elsewhere
+
+
+def test_upright_cost_zero_when_upright(setup):
+    model, cp, _ = setup
+    x = standing_state(model)
+    assert float(terms.upright_cost(cp, x)) == 0.0
+    # Tilt 0.2 rad about x: cost = 0.5*w*|z_axis - e_z|^2 with |.|^2 = 2(1-cosθ)... compute
+    th = 0.2
+    x2 = x.at[3].set(np.cos(th / 2)).at[4].set(np.sin(th / 2))
+    z = np.array([0.0, -np.sin(th), np.cos(th)])
+    expect = 0.5 * float(cp.w_upright) * np.sum((z - [0, 0, 1.0]) ** 2)
+    np.testing.assert_allclose(float(terms.upright_cost(cp, x2)), expect, rtol=1e-10)
+
+
+def test_support_center_cases(setup):
+    ee = jnp.asarray([[0.0, 0.1, 0.0], [0.2, -0.1, 0.0]])
+    c, a = terms.support_center(ee, jnp.asarray([1.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(c), [0.1, 0.0])
+    assert float(a) == 1.0
+    c, a = terms.support_center(ee, jnp.asarray([1.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(c), [0.0, 0.1])
+    c, a = terms.support_center(ee, jnp.asarray([0.0, 0.0]))
+    assert float(a) == 0.0  # flight: balance term gated off
+
+
+def test_limit_costs_margins(setup):
+    """10% margin semantics (robot_utils.cpp:627-641): inside the safe band
+    the penalty and its derivatives vanish; outside it is w*violation^2."""
+    model, cp, _ = setup
+    x = standing_state(model)
+    assert float(terms.joint_limit_cost(model, cp, x)) >= 0.0
+    u = jnp.zeros(model.nu, jnp.float64)
+    assert float(terms.torque_limit_cost(model, cp, u)) == 0.0
+    # Push one actuator past its safe bound: ctrlrange ±200, margin 40 -> safe 160
+    u2 = u.at[0].set(170.0)
+    expect = float(cp.w_torque_limits) * (170.0 - 160.0) ** 2
+    np.testing.assert_allclose(float(terms.torque_limit_cost(model, cp, u2)), expect, rtol=1e-9)
+
+
+def test_quadratics_match_finite_differences(setup):
+    """lx/lxx/lu/luu from AD must match central finite differences of the
+    stage cost — the FD linearization the reference trusts is our oracle."""
+    model, cp, _ = setup
+    N = 2
+    x0 = standing_state(model)
+    xs = jnp.stack([x0, x0 + 0.01, x0 - 0.005])
+    us = jnp.asarray(RNG.normal(0, 1.0, (N, model.nu)))
+    win = ReferenceWindow(
+        x=jnp.stack([x0, x0, x0]),
+        u=jnp.zeros((N, model.nu), jnp.float64),
+        com=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (N + 1, 1)),
+        com_vel=jnp.zeros((N + 1, 3), jnp.float64),
+        ee_pos=jnp.zeros((N + 1, 2, 3), jnp.float64),
+        stance=jnp.ones((N + 1, 2), jnp.float64),
+    )
+    quad = quadraticize(model, cp, win, xs, us)
+
+    t = 0
+    f_x = lambda x: float(
+        terms.stage_cost_full(
+            model, cp, x, us[t], win.x[t], win.u[t], win.com[t], win.com_vel[t],
+            win.ee_pos[t], win.stance[t],
+        )
+    )
+    eps = 1e-6
+    xnp = np.asarray(xs[t])
+    for i in RNG.choice(model.nx, 8, replace=False):
+        e = np.zeros(model.nx)
+        e[i] = eps
+        fd = (f_x(jnp.asarray(xnp + e)) - f_x(jnp.asarray(xnp - e))) / (2 * eps)
+        np.testing.assert_allclose(float(quad.lx[t, i]), fd, rtol=1e-4, atol=1e-6)
+
+    # Hessian row check via FD of the AD gradient
+    g_x = jax.grad(
+        lambda x: terms.stage_cost_full(
+            model, cp, x, us[t], win.x[t], win.u[t], win.com[t], win.com_vel[t],
+            win.ee_pos[t], win.stance[t],
+        )
+    )
+    i = 4  # a quaternion component: exercises FK curvature
+    e = np.zeros(model.nx)
+    e[i] = eps
+    fd_row = (np.asarray(g_x(jnp.asarray(xnp + e))) - np.asarray(g_x(jnp.asarray(xnp - e)))) / (
+        2 * eps
+    )
+    np.testing.assert_allclose(np.asarray(quad.lxx[t, i]), fd_row, rtol=1e-3, atol=1e-5)
+
+
+def test_swing_stance_gating(setup):
+    """EE position cost only in swing, EE velocity cost only in stance
+    (ilqr.cpp:703, 729)."""
+    model, cp, _ = setup
+    x = standing_state(model)
+    ee_ref = jnp.asarray(RNG.normal(0, 0.3, (2, 3)))
+    both_stance = jnp.asarray([1.0, 1.0])
+    both_swing = jnp.asarray([0.0, 0.0])
+    assert float(terms.ee_pos_cost(model, cp, x, ee_ref, both_stance)) == 0.0
+    assert float(terms.ee_pos_cost(model, cp, x, ee_ref, both_swing)) > 0.0
+    xm = x.at[model.nq + 0].set(0.5)  # give the feet some velocity
+    assert float(terms.ee_vel_cost(model, cp, xm, both_swing)) == 0.0
+    assert float(terms.ee_vel_cost(model, cp, xm, both_stance)) > 0.0
