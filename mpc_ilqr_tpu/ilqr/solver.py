@@ -58,6 +58,9 @@ class ILQRConfig:
     n_substeps: int = 1  # physics substeps per horizon step (dt/physics_dt)
     line_search: str = "first_accept"  # or "argmin" (best alpha, TPU-free lunch)
     backward: str = "scan"  # "scan" (lax.scan) | "pallas" (ops/riccati.py kernel)
+    linearization: str = "ad"  # "ad" (jacfwd) | "fd" (batched forward differences)
+    fd_eps: float = 1e-5  # FD perturbation (robot_utils.cpp:122 default)
+    scan_unroll: int = 1  # unroll factor for the serial rollout scans
 
 
 class ILQRSolution(NamedTuple):
@@ -78,23 +81,43 @@ def rollout(model: RobotModel, cfg: ILQRConfig, x0: jnp.ndarray, us: jnp.ndarray
         xn = engine.step(model, x, u, cfg.n_substeps)
         return xn, xn
 
-    _, xs = jax.lax.scan(f, x0, us)
+    _, xs = jax.lax.scan(f, x0, us, unroll=cfg.scan_unroll)
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
 def linearize(model: RobotModel, cfg: ILQRConfig, xs: jnp.ndarray, us: jnp.ndarray):
-    """A (N, nx, nx), B (N, nx, nu) via one batched jacfwd over the horizon."""
+    """A (N, nx, nx), B (N, nx, nu) over the horizon.
 
+    mode "ad" (default): one batched jacfwd — exact tangents through the
+    smooth dynamics. mode "fd": the reference's forward-difference recipe
+    (robot_utils.cpp:120-160, eps=1e-5) but with all nx+nu perturbed rollouts
+    batched via vmap instead of 1,775 serial mj_step calls. Both share one
+    interface so the Jacobian quality through contact can be compared
+    (SURVEY §7 hard part 2).
+    """
     nx = model.nx
 
     def f(xu):
         return engine.step(model, xu[:nx], xu[nx:], cfg.n_substeps)
 
-    def AB(x, u):
-        # One jacfwd over the concatenated (x,u): a single 70-tangent batch
-        # through one step graph (the reference does 70 serial FD rollouts).
-        J = jax.jacfwd(f)(jnp.concatenate([x, u]))
-        return J[:, :nx], J[:, nx:]
+    if cfg.linearization == "fd":
+        eps = jnp.asarray(cfg.fd_eps, xs.dtype)
+        eye = jnp.eye(nx + model.nu, dtype=xs.dtype)
+
+        def AB(x, u):
+            xu = jnp.concatenate([x, u])
+            base = f(xu)
+            pert = jax.vmap(lambda e: f(xu + eps * e))(eye)  # (nx+nu, nx)
+            J = ((pert - base[None, :]) / eps).T
+            return J[:, :nx], J[:, nx:]
+
+    else:
+
+        def AB(x, u):
+            # One jacfwd over the concatenated (x,u): a single 70-tangent batch
+            # through one step graph (the reference does 70 serial FD rollouts).
+            J = jax.jacfwd(f)(jnp.concatenate([x, u]))
+            return J[:, :nx], J[:, nx:]
 
     return jax.vmap(AB)(xs[:-1], us)
 
@@ -173,7 +196,9 @@ def line_search(
             xn = engine.step(model, x, u, cfg.n_substeps)
             return xn, (xn, u)
 
-        _, (xs_tail, us) = jax.lax.scan(f, x0, (xbar[:-1], ubar, K, kff))
+        _, (xs_tail, us) = jax.lax.scan(
+            f, x0, (xbar[:-1], ubar, K, kff), unroll=cfg.scan_unroll
+        )
         xs = jnp.concatenate([x0[None], xs_tail], axis=0)
         cost = trajectory_cost(model, cp, win, xs, us, mode=cfg.cost_mode)
         return xs, us, cost

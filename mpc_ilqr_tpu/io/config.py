@@ -58,6 +58,8 @@ _ENGINE_DEFAULTS = dict(
     tolerance=1e-4,
     dtype="float32",
     backward="scan",  # "scan" | "pallas" (ops/riccati.py one-launch kernel)
+    linearization="ad",  # "ad" | "fd"
+    scan_unroll=1,
 )
 
 

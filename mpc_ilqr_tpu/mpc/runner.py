@@ -61,6 +61,8 @@ def setup(app: AppConfig) -> Problem:
         line_search=app.engine["line_search"],
         n_substeps=n_substeps,
         backward=app.engine.get("backward", "scan"),
+        linearization=app.engine.get("linearization", "ad"),
+        scan_unroll=int(app.engine.get("scan_unroll", 1)),
     )
     refs = ioref.load_reference_set(
         model,

@@ -66,6 +66,26 @@ def fleet_step_once(models: RobotModel, cp: CostParams, cfg: ILQRConfig,
     return jax.vmap(one)(models, states, xs)
 
 
+def fleet_step_chunked(models: RobotModel, cp: CostParams, cfg: ILQRConfig,
+                       refs: ReferenceSet, states, xs: jnp.ndarray, chunk: int):
+    """Fleet step with bounded memory: lax.map over chunks of `chunk`
+    instances, vmap inside. The 70-tangent linearization intermediates of a
+    fully-vmapped 1024-instance solve exceed HBM (~23 GB); chunking holds
+    peak memory at chunk/fleet of that while keeping one dispatch.
+    """
+    n = xs.shape[0]
+    assert n % chunk == 0, f"fleet size {n} not divisible by chunk {chunk}"
+
+    resh = lambda t: jax.tree.map(lambda l: l.reshape((n // chunk, chunk) + l.shape[1:]), t)
+
+    def one_chunk(args):
+        m, s, x = args
+        return fleet_step_once(m, cp, cfg, refs, s, x)
+
+    out = jax.lax.map(one_chunk, (resh(models), resh(states), resh(xs)))
+    return jax.tree.map(lambda l: l.reshape((n,) + l.shape[2:]), out)
+
+
 def fleet_init(models: RobotModel, cfg: ILQRConfig, n: int):
     proto = jax.tree.map(lambda l: l[0], models)
     state = controller.init_state(proto, cfg)

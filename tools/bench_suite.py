@@ -163,7 +163,10 @@ def bench_fleet(args):
     models = fleet_mod.randomized_models(model, jax.random.PRNGKey(0), n)
     states = fleet_mod.fleet_init(models, cfg, n)
     xs = jnp.tile(standing_state(model)[None], (n, 1))
-    step = jax.jit(lambda m, s, x: fleet_mod.fleet_step_once(m, cp, cfg, refs, s, x))
+    chunk = min(128, n)
+    step = jax.jit(
+        lambda m, s, x: fleet_mod.fleet_step_chunked(m, cp, cfg, refs, s, x, chunk)
+    )
     t0 = time.perf_counter()
     out = jax.block_until_ready(step(models, states, xs))
     compile_s = time.perf_counter() - t0
