@@ -309,6 +309,10 @@ def solve(
                     A, B, quad.lx, quad.lu, quad.lxx, quad.luu, a.reg,
                     cfg.pd_bump, interpret=interp,
                 )
+            elif cfg.backward == "assoc":
+                from mpc_ilqr_tpu.ops.assoc_riccati import backward_pass_assoc
+
+                K, kff = backward_pass_assoc(A, B, quad, a.reg, cfg.pd_bump)
             else:
                 K, kff = backward_pass(A, B, quad, a.reg, cfg.pd_bump)
             ok, xs, us, cost = line_search(

@@ -47,3 +47,40 @@ def test_pallas_riccati_nonpower_sizes():
     )
     np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_s), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_s), rtol=2e-3, atol=2e-4)
+
+
+def test_assoc_riccati_matches_scan():
+    """The O(log N) associative-scan backward pass must equal the serial
+    recursion (exact-arithmetic equivalence via Woodbury; f32 round-off)."""
+    from mpc_ilqr_tpu.ops.assoc_riccati import backward_pass_assoc
+
+    A, B, quad = random_problem(N=25, nx=51, nu=19)
+    reg = jnp.float32(1e-6)
+    K_s, k_s = backward_pass(A, B, quad, reg, 1e-4)
+    K_a, k_a = backward_pass_assoc(A, B, quad, reg)
+    np.testing.assert_allclose(np.asarray(K_a), np.asarray(K_s), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(k_a), np.asarray(k_s), rtol=2e-3, atol=2e-4)
+
+
+def test_assoc_riccati_long_horizon_f64():
+    """N=100 in f64: tight agreement over a long recursion."""
+    import jax
+
+    from mpc_ilqr_tpu.ops.assoc_riccati import backward_pass_assoc
+    from mpc_ilqr_tpu.costs.quadratics import CostQuadratics
+
+    rng = np.random.default_rng(1)
+    N, nx, nu = 100, 12, 5
+    A = jnp.asarray(np.eye(nx) + 0.01 * rng.normal(size=(N, nx, nx)))
+    B = jnp.asarray(0.02 * rng.normal(size=(N, nx, nu)))
+    quad = CostQuadratics(
+        lx=jnp.asarray(rng.normal(size=(N + 1, nx))),
+        lu=jnp.asarray(rng.normal(size=(N, nu))),
+        lxx=jnp.asarray(np.einsum("ti,ij->tij", rng.uniform(0.5, 3, (N + 1, nx)), np.eye(nx))),
+        luu=jnp.asarray(np.einsum("ti,ij->tij", rng.uniform(0.05, 1, (N, nu)), np.eye(nu))),
+    )
+    reg = jnp.asarray(1e-6, jnp.float64)
+    K_s, k_s = backward_pass(A, B, quad, reg, 1e-4)
+    K_a, k_a = backward_pass_assoc(A, B, quad, reg)
+    np.testing.assert_allclose(np.asarray(K_a), np.asarray(K_s), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(k_a), np.asarray(k_s), rtol=1e-8, atol=1e-9)
