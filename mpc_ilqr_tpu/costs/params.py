@@ -14,6 +14,12 @@ from mpc_ilqr_tpu.models.robot import RobotModel
 
 
 class CostParams(struct.PyTreeNode):
+    """Cost weights (pytree). `quat_tangent` is a static mode switch:
+    False = the reference's raw quaternion subtraction (ilqr.cpp:141 — the
+    parity default); True = tangent-space orientation error
+    2·log(q_ref⁻¹ ⊗ q) weighted by the Q_quat_xyz rows (the geometrically
+    correct option, SURVEY §7 hard part 3)."""
+
     Q: jnp.ndarray  # (nx,) state tracking diag
     R: jnp.ndarray  # (nu,) control effort diag
     Qf: jnp.ndarray  # (nx,) terminal diag
@@ -28,6 +34,7 @@ class CostParams(struct.PyTreeNode):
     limit_margin: jnp.ndarray  # fractional safety margin (0.1 in reference)
     balance_g: jnp.ndarray  # gravity constant inside the capture point (9.81
     # hardcoded in the reference regardless of sim gravity, ilqr.cpp:417)
+    quat_tangent: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_cost_params(
@@ -35,6 +42,7 @@ def build_cost_params(
     weights: dict,
     constraints: dict,
     dtype=jnp.float32,
+    quat_tangent: bool = False,
 ) -> CostParams:
     """Build Q/R/Qf diagonals exactly as Config::buildCostMatrices does.
 
@@ -82,4 +90,5 @@ def build_cost_params(
         w_torque_limits=c(constraints.get("torque_limit_weight", 1000.0)),
         limit_margin=c(0.1),
         balance_g=c(9.81),
+        quat_tangent=quat_tangent,
     )

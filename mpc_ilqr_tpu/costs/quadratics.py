@@ -42,9 +42,9 @@ def quadraticize(
         )
 
     def stage_u(u, t):
-        return terms.tracking_cost(cp, xbar[t], win.x[t], u, win.u[t]) + terms.torque_limit_cost(
-            model, cp, u
-        )
+        return terms.tracking_cost(
+            cp, xbar[t], win.x[t], u, win.u[t], model=model
+        ) + terms.torque_limit_cost(model, cp, u)
 
     ts = jnp.arange(N)
     lx_s = jax.vmap(jax.grad(stage_x))(xbar[:N], ts)

@@ -26,10 +26,26 @@ from mpc_ilqr_tpu.dynamics import kinematics as kin
 from mpc_ilqr_tpu.models.robot import RobotModel
 
 
-def tracking_cost(cp: CostParams, x, x_ref, u=None, u_ref=None, terminal=False):
+def tracking_cost(cp: CostParams, x, x_ref, u=None, u_ref=None, terminal=False, model=None):
+    """Quadratic state/control tracking (ilqr.cpp:374-375).
+
+    With cp.quat_tangent and a floating-base model, the base-quaternion
+    rows of the raw difference are replaced by the tangent-space error
+    log(q_ref⁻¹ ⊗ q), weighted by the Q_quat_xyz rows (the Q_quat_w row is
+    unused in that mode) — double-cover safe, unlike the reference's raw
+    subtraction (SURVEY §7 hard part 3).
+    """
+    from mpc_ilqr_tpu.dynamics import math as qm
+
     e = x - x_ref
     W = cp.Qf if terminal else cp.Q
-    c = 0.5 * jnp.sum(W * e * e)
+    if cp.quat_tangent and model is not None and model.has_free_base:
+        mask = jnp.ones_like(e).at[3:7].set(0.0)
+        dq = qm.quat_mul(qm.quat_conj(x_ref[3:7]), qm.quat_normalize(x[3:7]))
+        delta = qm.quat_log(dq)
+        c = 0.5 * jnp.sum(W * mask * e * e) + 0.5 * jnp.sum(W[4:7] * delta * delta)
+    else:
+        c = 0.5 * jnp.sum(W * e * e)
     if u is not None:
         eu = u - u_ref
         c = c + 0.5 * jnp.sum(cp.R * eu * eu)
@@ -136,7 +152,7 @@ def stage_cost_full(model, cp, x, u, x_ref, u_ref, com_ref, com_vel_ref, ee_ref,
     guards resolve at trace time.
     """
     feats = kin.task_features(model, x)  # ONE FK shared by every task term
-    c = tracking_cost(cp, x, x_ref, u, u_ref)
+    c = tracking_cost(cp, x, x_ref, u, u_ref, model=model)
     c = c + com_cost(model, cp, x, com_ref, feats)
     c = c + com_vel_cost(model, cp, x, com_vel_ref, feats)
     if model.n_ee:
@@ -155,7 +171,7 @@ def terminal_cost_full(model, cp, x, x_ref, com_ref, com_vel_ref, ee_ref, stance
     """Terminal quadraticized terms (ilqr.cpp:202-243: no torque penalty,
     no CoM-velocity term; Qf tracking + all x-only task costs)."""
     feats = kin.task_features(model, x)
-    c = tracking_cost(cp, x, x_ref, terminal=True)
+    c = tracking_cost(cp, x, x_ref, terminal=True, model=model)
     c = c + com_cost(model, cp, x, com_ref, feats)
     if model.n_ee:
         c = c + ee_pos_cost(model, cp, x, ee_ref, stance, feats)
@@ -180,7 +196,7 @@ def stage_cost_eval(model, cp, x, u, x_ref, u_ref, com_ref, com_vel_ref, ee_ref,
     (the mathematically consistent choice).
     """
     if mode == "reference":
-        c = tracking_cost(cp, x, x_ref, u, u_ref)
+        c = tracking_cost(cp, x, x_ref, u, u_ref, model=model)
         if model.has_free_base:
             c = c + upright_cost(cp, x)
             if model.n_ee:
@@ -195,7 +211,7 @@ def stage_cost_eval(model, cp, x, u, x_ref, u_ref, com_ref, com_vel_ref, ee_ref,
 
 def terminal_cost_eval(model, cp, x, x_ref, com_ref, com_vel_ref, ee_ref, stance, mode="reference"):
     if mode == "reference":
-        c = tracking_cost(cp, x, x_ref, terminal=True)
+        c = tracking_cost(cp, x, x_ref, terminal=True, model=model)
         if model.has_free_base:
             c = c + upright_cost(cp, x)
             if model.n_ee:

@@ -97,6 +97,17 @@ def quat_integrate(q: jnp.ndarray, omega_local: jnp.ndarray, dt) -> jnp.ndarray:
     return quat_normalize(quat_mul(q, dq))
 
 
+def quat_log(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Rotation-vector logarithm of unit quaternion(s): |log| = rotation
+    angle, canonicalized to the w>=0 hemisphere (double-cover safe)."""
+    q = jnp.where(q[..., 0:1] < 0, -q, q)
+    w = q[..., 0]
+    v = q[..., 1:4]
+    vn = jnp.sqrt(jnp.sum(v * v, axis=-1) + eps)
+    angle = 2.0 * jnp.arctan2(vn, w)
+    return v * (angle / vn)[..., None]
+
+
 def quat_axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     """Unit quaternion for rotation of `angle` about unit `axis`."""
     half = 0.5 * angle[..., None]

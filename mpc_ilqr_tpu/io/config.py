@@ -60,6 +60,7 @@ _ENGINE_DEFAULTS = dict(
     backward="scan",  # "scan" | "pallas" (ops/riccati.py one-launch kernel)
     linearization="ad",  # "ad" | "fd"
     scan_unroll=1,
+    quat_tangent=False,  # tangent-space base-orientation error (parity: raw)
 )
 
 

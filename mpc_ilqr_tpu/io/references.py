@@ -23,10 +23,16 @@ from mpc_ilqr_tpu.models.robot import RobotModel
 
 
 def load_csv_matrix(path: str) -> np.ndarray:
-    """Headerless comma-separated float matrix (native mmap parser when the
-    C++ runtime is built, numpy fallback otherwise — io/native.py)."""
+    """Reference track matrix. CSV parses through the native mmap parser
+    (io/native.py, python fallback); .npz twins of the reference data
+    (SURVEY C11) load directly via numpy."""
     from mpc_ilqr_tpu.io import native
 
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return np.atleast_2d(np.asarray(z[list(z.files)[0]], dtype=np.float64))
+    if path.endswith(".npy"):
+        return np.atleast_2d(np.load(path).astype(np.float64))
     return np.atleast_2d(native.read_csv_matrix(path))
 
 

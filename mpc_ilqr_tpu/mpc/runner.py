@@ -51,7 +51,10 @@ def setup(app: AppConfig) -> Problem:
         contact_friction=app.engine["contact_friction"],
         dtype=dtype,
     )
-    cp = build_cost_params(model, app.mpc.cost_weights, app.mpc.constraints, dtype=dtype)
+    cp = build_cost_params(
+        model, app.mpc.cost_weights, app.mpc.constraints, dtype=dtype,
+        quat_tangent=bool(app.engine.get("quat_tangent", False)),
+    )
     n_substeps = max(1, round(app.mpc.dt / app.mpc.physics_dt))
     cfg = ILQRConfig(
         N=app.mpc.horizon,

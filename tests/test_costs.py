@@ -148,3 +148,24 @@ def test_swing_stance_gating(setup):
     xm = x.at[model.nq + 0].set(0.5)  # give the feet some velocity
     assert float(terms.ee_vel_cost(model, cp, xm, both_swing)) == 0.0
     assert float(terms.ee_vel_cost(model, cp, xm, both_stance)) > 0.0
+
+
+def test_tangent_quat_mode(setup):
+    """Opt-in tangent-space orientation error: double-cover safe (q and -q
+    are the same rotation), reduces to ~theta^2 for small tilts; the raw
+    reference mode is sign-sensitive (ilqr.cpp:141 parity)."""
+    import dataclasses
+
+    from mpc_ilqr_tpu.models.robot import standing_state
+
+    model, cp_raw, app = setup
+    cp_tan = cp_raw.replace(quat_tangent=True)
+    x = standing_state(model)
+    x_neg = x.at[3:7].multiply(-1.0)
+    assert float(terms.tracking_cost(cp_raw, x_neg, x, model=model)) > 1.0
+    assert abs(float(terms.tracking_cost(cp_tan, x_neg, x, model=model))) < 1e-9
+    # small tilt about x: tangent cost ≈ 0.5 * w_qx * theta^2
+    th = 0.01
+    x_t = x.at[3].set(np.cos(th / 2)).at[4].set(np.sin(th / 2))
+    c = float(terms.tracking_cost(cp_tan, x_t, x, model=model))
+    np.testing.assert_allclose(c, 0.5 * 50.0 * th**2, rtol=1e-4)

@@ -101,3 +101,12 @@ def test_async_telemetry_roundtrip(tmp_path):
     lines = p.read_text().strip().splitlines()
     assert len(lines) == 501
     assert lines[-1] == "499,998"
+
+
+def test_npz_track_loading(tmp_path):
+    from mpc_ilqr_tpu.io.references import load_csv_matrix
+
+    arr = np.arange(12.0).reshape(3, 4)
+    p = tmp_path / "track.npz"
+    np.savez(p, q=arr)
+    np.testing.assert_array_equal(load_csv_matrix(str(p)), arr)

@@ -128,11 +128,6 @@ def bench_linesearch(args):
 
 def bench_long_horizon(args):
     """N=100 @ 100 Hz (dt=0.01) replanning stress (Riccati scan depth)."""
-    import dataclasses as dc
-
-    prob = _setup(standing=True, N=100)
-    # 100 Hz: rebuild model timestep
-    model = prob.model.replace()  # timestep is static; rebuild via loader
     from mpc_ilqr_tpu.io.config import load_config
     from mpc_ilqr_tpu.mpc import runner
 
