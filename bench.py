@@ -64,18 +64,21 @@ def main():
     # Timed: the whole closed-loop plan-act simulation on device (controller
     # + plant fused in one program), averaged per MPC step — the same
     # quantity as the reference's avg MPC_stepOnce (README.md:203), without
-    # a host round-trip per step.
+    # a host round-trip per step. Each rep perturbs x0 by a physically
+    # irrelevant epsilon: the remote execution layer dedupes byte-identical
+    # repeat invocations, which would otherwise fake ~0 ms timings.
     reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        state_f, x_f, hist = jax.block_until_ready(run(refs, state, x, n_steps=N_STEPS))
-    wall_ms = (time.perf_counter() - t0) * 1e3 / reps
+    rep_ms = []
+    for i in range(reps):
+        x_i = x.at[2].add(1e-6 * (i + 1))
+        t0 = time.perf_counter()
+        state_f, x_f, hist = jax.block_until_ready(run(refs, state, x_i, n_steps=N_STEPS))
+        rep_ms.append((time.perf_counter() - t0) * 1e3)
 
     costs = np.asarray(hist["cost"])
-    times = [wall_ms / N_STEPS]
-    steady = times
+    steady = [ms / N_STEPS for ms in rep_ms]
     x = x_f
-    value = float(wall_ms / N_STEPS)
+    value = float(np.mean(steady))
     result = {
         "metric": "ilqr_solve_ms_per_mpc_step",
         "value": round(value, 3),

@@ -75,21 +75,70 @@ def _qdot(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return qd
 
 
+def _body_accelerations(model: RobotModel, fr: KinFrames, v: jnp.ndarray, omega, pc):
+    """Velocity-product body accelerations (α_i, a_ci) at zero v̇ — the
+    classic RNEA outward recursion, level-batched like FK (replaces a jvp
+    through the kinematics: half the traced graph, same numbers).
+
+    World-frame recursion per hinge body i (parent p, world axis w, world
+    anchor o, joint rate q̇):
+        α_i  = α_p + (ω_p × w) q̇
+        a(x) = a_p(o) + α_i × (x − o) + ω_i × (ω_i × (x − o))
+    Free base at constant qvel: α = 0, origin acceleration = 0 (the world
+    angular velocity R ω_body has zero derivative when ω̇_body = 0).
+    """
+    import numpy as np
+
+    from mpc_ilqr_tpu.dynamics.kinematics import _tree_levels
+
+    B = model.nbody
+    alpha = jnp.zeros((B, 3), v.dtype)
+    a_c = jnp.zeros((B, 3), v.dtype)  # CoM accelerations
+    dadr = np.asarray(model.body_dof_adr)
+    parent = np.asarray(model.body_parent)
+
+    for free, hinge, fixed in _tree_levels(model.body_parent, model.body_jnt_type):
+        for i in free:
+            # α = 0; a_c = ω × (ω × (r_c − origin))
+            r = pc[i] - fr.p[i]
+            a_c = a_c.at[i].set(jnp.cross(omega[i], jnp.cross(omega[i], r)))
+        for group in (tuple(hinge), tuple(fixed)):
+            if not group:
+                continue
+            gi = np.array(group)
+            par = jnp.asarray(parent[gi])
+            is_hinge = model.body_jnt_type[group[0]] == JNT_HINGE
+            om_p = omega[par]
+            al_p = alpha[par]
+            if is_hinge:
+                d = jnp.asarray(dadr[gi])
+                qd_g = v[d][:, None]
+                w = fr.dof_axis[d]
+                o = fr.dof_anchor[d]
+                al_i = al_p + jnp.cross(om_p, w) * qd_g
+            else:  # fixed: inherits parent's motion; anchor = parent CoM
+                o = pc[par]
+                al_i = al_p
+            om_i = omega[jnp.asarray(gi)]
+            # anchor acceleration from the parent's rigid motion about its CoM
+            r_o = o - pc[par]
+            a_o = a_c[par] + jnp.cross(al_p, r_o) + jnp.cross(om_p, jnp.cross(om_p, r_o))
+            r_c = pc[jnp.asarray(gi)] - o
+            a_ci = a_o + jnp.cross(al_i, r_c) + jnp.cross(om_i, jnp.cross(om_i, r_c))
+            alpha = alpha.at[gi].set(al_i)
+            a_c = a_c.at[gi].set(a_ci)
+    return alpha, a_c
+
+
 def _dynamics_terms(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray):
-    """One fused pass: frames, M(q), bias(q,v) — FK traced once; the
-    velocity-product (Coriolis) accelerations are the jvp tangents of the
-    very same computation (AD analogue of RNEA)."""
-    qd = _qdot(model, q, v)
+    """One fused pass: frames, M(q), bias(q,v). FK runs once; the Coriolis
+    accelerations come from the analytic level-batched RNEA recursion."""
+    fr = forward_kinematics(model, q)
+    pc = body_com_positions(model, fr)
+    Jv, Jw = body_jacobians(model, fr, pc)
+    omega = _ei("bij,j->bi", Jw, v)
 
-    def kin_all(qq):
-        fr = forward_kinematics(model, qq)
-        pc = body_com_positions(model, fr)
-        Jv, Jw = body_jacobians(model, fr, pc)
-        om = _ei("bij,j->bi", Jw, v)
-        vc = _ei("bij,j->bi", Jv, v)
-        return (om, vc), (fr, Jv, Jw)
-
-    ((omega, _vc), (fr, Jv, Jw)), ((omega_dot, acc_c), _) = jax.jvp(kin_all, (q,), (qd,))
+    alpha, acc_c = _body_accelerations(model, fr, v, omega, pc)
 
     Iw = _world_inertias(model, fr)
     M = _ei("b,bik,bil->kl", model.body_mass, Jv, Jv)
@@ -97,7 +146,7 @@ def _dynamics_terms(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray):
     M = M + jnp.diag(model.dof_armature)
 
     f = model.body_mass[:, None] * (acc_c - model.gravity[None, :])  # (B,3)
-    n = _ei("bij,bj->bi", Iw, omega_dot) + jnp.cross(omega, _ei("bij,bj->bi", Iw, omega))
+    n = _ei("bij,bj->bi", Iw, alpha) + jnp.cross(omega, _ei("bij,bj->bi", Iw, omega))
     bias = _ei("bik,bi->k", Jv, f) + _ei("bik,bi->k", Jw, n)
     return fr, M, bias
 

@@ -65,8 +65,9 @@ def main():
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         reps = 3
-        for _ in range(reps):
-            _, xf, hist = jax.block_until_ready(run(prob.refs, state, x, n_steps=args.steps))
+        for i in range(reps):
+            x_i = x.at[2].add(1e-6 * (i + 1))
+            _, xf, hist = jax.block_until_ready(run(prob.refs, state, x_i, n_steps=args.steps))
         ms = (time.perf_counter() - t0) * 1e3 / reps / args.steps
         print(json.dumps({
             "variant": name, "ms_per_step": round(ms, 3),
