@@ -264,6 +264,10 @@ def step(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray, n_substeps: int = 1)
             lhs = lhs + h * _ei("cik,ci,cil->kl", Jp, c_diag, Jp)
             tau = tau + _ei("cik,ci->k", Jp, f_el)
         rhs = jnp.matmul(M, v, precision=HIGHEST) + h * (tau - bias)
+        # cho_solve, deliberately: its JVP reuses the factorization, which
+        # matters because linearize() pushes 70 tangents through this step.
+        # (The unrolled masked solve in ops/linalg.py is 2x faster standalone
+        # but regressed the full solve 26->38 ms via its expensive tangents.)
         v_next = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(lhs), rhs)
         q_next = integrate_position(model, q, v_next, h)
         return jnp.concatenate([q_next, v_next]), None
