@@ -244,13 +244,20 @@ def integrate_position(model: RobotModel, q: jnp.ndarray, v_next: jnp.ndarray, h
     return qn
 
 
-def step(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray, n_substeps: int = 1) -> jnp.ndarray:
+def step(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray, n_substeps: int = 1,
+         solver: str = "chol") -> jnp.ndarray:
     """One control step of the dynamics: x_{t+1} = f(x_t, u_t).
 
     Equivalent of RobotUtils::rolloutOneStep (robot_utils.cpp:106-117).
     Joint damping and contact damping/stiffness integrate implicitly,
     mirroring MuJoCo's Euler integrator + Newton contact solve:
         (M + h D + h Jᵀ C J) v' = M v + h (tau_applied + Jᵀ f_el - bias)
+
+    solver="chol" uses cho_factor/cho_solve — its JVP reuses the factor, so
+    this is the right choice anywhere jacfwd differentiates through the step
+    (linearize). solver="masked" uses the pure-jnp unrolled SPD solve
+    (ops/linalg.py) — ~2x faster on TPU for plain (non-differentiated)
+    rollouts such as the line search.
     """
     h = model.timestep / n_substeps
 
@@ -264,11 +271,12 @@ def step(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray, n_substeps: int = 1)
             lhs = lhs + h * _ei("cik,ci,cil->kl", Jp, c_diag, Jp)
             tau = tau + _ei("cik,ci->k", Jp, f_el)
         rhs = jnp.matmul(M, v, precision=HIGHEST) + h * (tau - bias)
-        # cho_solve, deliberately: its JVP reuses the factorization, which
-        # matters because linearize() pushes 70 tangents through this step.
-        # (The unrolled masked solve in ops/linalg.py is 2x faster standalone
-        # but regressed the full solve 26->38 ms via its expensive tangents.)
-        v_next = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(lhs), rhs)
+        if solver == "masked":
+            from mpc_ilqr_tpu.ops.linalg import spd_solve
+
+            v_next = spd_solve(lhs, rhs)
+        else:
+            v_next = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(lhs), rhs)
         q_next = integrate_position(model, q, v_next, h)
         return jnp.concatenate([q_next, v_next]), None
 

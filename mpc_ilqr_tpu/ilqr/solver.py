@@ -61,6 +61,7 @@ class ILQRConfig:
     linearization: str = "ad"  # "ad" (jacfwd) | "fd" (batched forward differences)
     fd_eps: float = 1e-5  # FD perturbation (robot_utils.cpp:122 default)
     scan_unroll: int = 1  # unroll factor for the serial rollout scans
+    rollout_solver: str = "chol"  # SPD solver for non-differentiated rollouts ("masked" opt-in)
 
 
 class ILQRSolution(NamedTuple):
@@ -78,7 +79,7 @@ def rollout(model: RobotModel, cfg: ILQRConfig, x0: jnp.ndarray, us: jnp.ndarray
     """Open-loop rollout: (N+1, nx) trajectory from x0 under us."""
 
     def f(x, u):
-        xn = engine.step(model, x, u, cfg.n_substeps)
+        xn = engine.step(model, x, u, cfg.n_substeps, solver=cfg.rollout_solver)
         return xn, xn
 
     _, xs = jax.lax.scan(f, x0, us, unroll=cfg.scan_unroll)
@@ -193,7 +194,7 @@ def line_search(
         def f(x, inp):
             xb, ub, K_t, k_t = inp
             u = ub + alpha * k_t + _mm(K_t, x - xb)
-            xn = engine.step(model, x, u, cfg.n_substeps)
+            xn = engine.step(model, x, u, cfg.n_substeps, solver=cfg.rollout_solver)
             return xn, (xn, u)
 
         _, (xs_tail, us) = jax.lax.scan(
