@@ -1,0 +1,97 @@
+"""Line-search sharding over a device-mesh axis — collectives in the solver.
+
+The fleet path (parallel/fleet.py) is embarrassingly parallel; this module
+puts a REAL collective inside one solve: the line-search alphas shard over
+the mesh's 'ls' axis via shard_map — each device rolls out only its alpha
+shard, then the winner is chosen with an all_gather over the axis (riding
+ICI on hardware). Semantics are identical to ilqr.line_search; a test on
+the virtual 8-device CPU mesh asserts bit-level agreement of the selected
+trajectory.
+
+This is the "sequence/sampler parallel" deployment shape for very wide
+searches (many alphas and/or warm-start seeds spread over chips) where a
+single chip's VMEM or compute budget is the limit.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mpc_ilqr_tpu.costs.params import CostParams
+from mpc_ilqr_tpu.costs.quadratics import trajectory_cost
+from mpc_ilqr_tpu.costs.references import ReferenceWindow
+from mpc_ilqr_tpu.dynamics import engine
+from mpc_ilqr_tpu.ilqr.solver import ILQRConfig
+from mpc_ilqr_tpu.models.robot import RobotModel
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def sharded_line_search(
+    mesh: Mesh,
+    model: RobotModel,
+    cp: CostParams,
+    cfg: ILQRConfig,
+    axis: str = "ls",
+):
+    """Build a line-search function whose alpha batch is sharded over `axis`.
+
+    Returns ls_fn(win, x0, xbar, ubar, K, kff, baseline) -> (ok, xs, us, cost)
+    with ilqr.line_search semantics. len(cfg.alphas) must divide the axis
+    size evenly times shard count (alphas_per_device = n_alphas / axis_size).
+    """
+    n_alpha = len(cfg.alphas)
+    axis_size = mesh.shape[axis]
+    assert n_alpha % axis_size == 0, f"{n_alpha} alphas over {axis_size} devices"
+
+    def local_rollouts(alphas_shard, win, x0, xbar, ubar, K, kff):
+        """Roll out this device's alpha shard (vmapped locally)."""
+
+        def roll_one(alpha):
+            def f(x, inp):
+                xb, ub, K_t, k_t = inp
+                u = ub + alpha * k_t + jnp.matmul(K_t, x - xb, precision=HIGHEST)
+                xn = engine.step(model, x, u, cfg.n_substeps)
+                return xn, (xn, u)
+
+            # The rollout depends on this device's alpha shard: mark the
+            # replicated carry as varying over the sharded axis (vma typing).
+            x0_v = jax.lax.pcast(x0, (axis,), to="varying")
+            _, (xs_tail, us) = jax.lax.scan(f, x0_v, (xbar[:-1], ubar, K, kff))
+            xs = jnp.concatenate([x0_v[None], xs_tail], axis=0)
+            cost = trajectory_cost(model, cp, win, xs, us, mode=cfg.cost_mode)
+            return xs, us, cost
+
+        return jax.vmap(roll_one)(alphas_shard)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    def sharded_rollouts(alphas, win, x0, xbar, ubar, K, kff):
+        return local_rollouts(alphas, win, x0, xbar, ubar, K, kff)
+
+    def ls_fn(win: ReferenceWindow, x0, xbar, ubar, K, kff, baseline_cost):
+        alphas = jnp.asarray(cfg.alphas, dtype=x0.dtype)
+        xs_all, us_all, costs = sharded_rollouts(alphas, win, x0, xbar, ubar, K, kff)
+        # Winner selection: costs is (n_alpha,) laid out over the axis; the
+        # argmax/argmin gather below induces the cross-device collective.
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+        improves = costs < baseline_cost - cfg.accept_threshold
+        accepted = improves.any()
+        if cfg.line_search == "first_accept":
+            idx = jnp.argmax(improves)
+        else:
+            idx = jnp.argmin(costs)
+        xs = jnp.take(xs_all, idx, axis=0)
+        us = jnp.take(us_all, idx, axis=0)
+        cost = jnp.take(costs, idx, axis=0)
+        return accepted, xs, us, cost
+
+    return ls_fn

@@ -1,0 +1,60 @@
+"""shard_map line search over the 'ls' mesh axis == local vmap line search."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from mpc_ilqr_tpu.costs.params import build_cost_params
+from mpc_ilqr_tpu.costs.quadratics import quadraticize, trajectory_cost
+from mpc_ilqr_tpu.costs.references import extract_window
+from mpc_ilqr_tpu.dynamics import engine
+from mpc_ilqr_tpu.ilqr import solver as ilqr
+from mpc_ilqr_tpu.io.config import load_config
+from mpc_ilqr_tpu.io.references import load_reference_set
+from mpc_ilqr_tpu.models.robot import load_h1, standing_state
+from mpc_ilqr_tpu.parallel.sharded_solve import sharded_line_search
+
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_sharded_line_search_matches_local():
+    devs = jax.devices()
+    assert len(devs) >= 8
+    mesh = Mesh(np.array(devs[:8]), ("ls",))
+
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    model = load_h1(gravity=(0, 0, -1.0), timestep=0.02, dtype=jnp.float32)
+    cp = build_cost_params(model, app.mpc.cost_weights, app.mpc.constraints, dtype=jnp.float32)
+    cfg = ilqr.ILQRConfig(N=4)  # 8 alphas over 8 devices
+    refs = load_reference_set(
+        model,
+        os.path.join(ROOT, "data/q_standing.csv"),
+        os.path.join(ROOT, "data/v_standing.csv"),
+        dtype=jnp.float32,
+    )
+    win = extract_window(refs, jnp.zeros((), jnp.int32), cfg.N)
+    x0 = standing_state(model)
+    ubar = jnp.tile(engine.gravity_comp(model, x0)[None], (cfg.N, 1))
+    xbar = ilqr.rollout(model, cfg, x0, ubar)
+    quad = quadraticize(model, cp, win, xbar, ubar)
+    A, B = ilqr.linearize(model, cfg, xbar, ubar)
+    K, kff = ilqr.backward_pass(A, B, quad, jnp.asarray(1e-6, jnp.float32), 1e-4)
+    base = trajectory_cost(model, cp, win, xbar, ubar, mode=cfg.cost_mode)
+
+    ok_l, xs_l, us_l, cost_l = jax.jit(
+        lambda: ilqr.line_search(model, cp, cfg, win, x0, xbar, ubar, K, kff, base)
+    )()
+
+    ls = sharded_line_search(mesh, model, cp, cfg)
+    with mesh:
+        ok_s, xs_s, us_s, cost_s = jax.jit(
+            lambda: ls(win, x0, xbar, ubar, K, kff, base)
+        )()
+
+    assert bool(ok_l) == bool(ok_s)
+    np.testing.assert_allclose(float(cost_l), float(cost_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(us_l), np.asarray(us_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xs_l), np.asarray(xs_s), atol=1e-5)
