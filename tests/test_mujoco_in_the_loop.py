@@ -1,0 +1,41 @@
+"""Cross-plant validation: the TPU controller stabilizes a REAL MuJoCo plant.
+
+This is the strongest parity evidence available: the controller plans with
+the differentiable compliant-contact engine while the plant runs MuJoCo's
+Newton/elliptic-cone solver with the reference's settings — exactly the
+reference's deployment shape (humanoid_mpc.cpp drives mj_step). Passing
+means the internal model is close enough to control the reference's physics
+(SURVEY §7 hard part 1 resolved at the behavioral level).
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_ilqr_tpu.io.config import load_config
+from mpc_ilqr_tpu.mpc import runner
+from mpc_ilqr_tpu.mpc.mujoco_plant import run_mujoco_in_the_loop
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_standing_on_mujoco_plant():
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    app.q_ref_path = "data/q_standing.csv"
+    app.v_ref_path = "data/v_standing.csv"
+    app.contact_schedule_path = "data/contact_standing.csv"
+    # Small horizon keeps the CPU compile testable; the physics challenge
+    # (controlling MuJoCo contact with the compliant internal model) remains.
+    import dataclasses
+
+    prob = runner.setup(app)
+    prob = prob._replace(cfg=dataclasses.replace(prob.cfg, N=8, max_iterations=3))
+
+    hist = run_mujoco_in_the_loop(prob, 10)
+    z = np.array([x[2] for x in hist["x"]])
+    qw = np.array([x[3] for x in hist["x"]])
+    assert np.isfinite(np.stack(hist["x"])).all()
+    assert z.min() > 1.0, f"base sagged to {z.min():.3f} on the MuJoCo plant"
+    assert np.abs(qw).min() > 0.99, "base tipped on the MuJoCo plant"
+    assert hist["cost"][-1] < hist["cost"][0]
