@@ -112,3 +112,34 @@ def test_failure_fallback_zero_control(prob):
     state, u, diag = step_once(refs, state, x_bad)
     assert not bool(diag.solve_ok)
     assert np.isfinite(np.asarray(u)).all()  # fallback control is finite (zeros)
+
+
+def test_fused_loop_matches_host_loop(prob):
+    """run_closed_loop (one lax.scan) must reproduce the host-driven loop
+    step for step — the fusion is a scheduling change, not a semantic one."""
+    import functools
+
+    model, cp, cfg, refs, step_once = prob
+    x0 = standing_state(model)
+    n = 4
+
+    run = jax.jit(
+        functools.partial(controller.run_closed_loop, model, cp, cfg),
+        static_argnames=("n_steps",),
+    )
+    state0 = controller.init_state(model, cfg)
+    _, x_fused, hist = run(refs, state0, x0, n_steps=n)
+
+    plant = jax.jit(lambda xx, uu: engine.step(model, xx, uu))
+    state = controller.init_state(model, cfg)
+    x = x0
+    for i in range(n):
+        state, u, diag = step_once(refs, state, x)
+        np.testing.assert_allclose(
+            np.asarray(hist["u"][i]), np.asarray(u), rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            float(hist["cost"][i]), float(diag.cost), rtol=2e-4
+        )
+        x = plant(x, u)
+    np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x), rtol=2e-3, atol=1e-4)
