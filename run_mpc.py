@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--plant", choices=["engine", "mujoco"], default="engine",
+                    help="plant physics: the built-in differentiable engine "
+                         "(reference-style self-consistent sim) or a real "
+                         "MuJoCo simulation (cross-plant validation)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -62,6 +66,20 @@ def main():
     )
 
     import time
+
+    if args.plant == "mujoco":
+        from mpc_ilqr_tpu.mpc.mujoco_plant import run_mujoco_in_the_loop
+
+        steps = args.steps if args.steps is not None else app.mpc.sim_steps
+        t0 = time.perf_counter()
+        hist = run_mujoco_in_the_loop(prob, steps, verbose=not args.quiet)
+        wall = (time.perf_counter() - t0) * 1e3
+        print(f"MuJoCo-plant simulation completed in {wall:.0f} ms "
+              f"({wall / max(1, steps):.1f} ms/step); final base z "
+              f"{hist['x'][-1][2]:.4f}, final cost {hist['cost'][-1]:.4f}")
+        if args.profile:
+            print(prof.report())
+        return
 
     t0 = time.perf_counter()
     hist, _ = runner.run_simulation(

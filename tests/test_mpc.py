@@ -143,3 +143,24 @@ def test_fused_loop_matches_host_loop(prob):
         )
         x = plant(x, u)
     np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x), rtol=2e-3, atol=1e-4)
+
+
+def test_real_gravity_standing_with_substeps():
+    """Physical gravity (-9.81): with physics_dt=0.005 (4 substeps per
+    control step) the closed loop holds the stand on the built-in plant.
+    (At the stock single-substep 0.02 the 10x contact loads chatter — the
+    same physics_dt knob the reference exposes is the fix.)"""
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    app.q_ref_path = "data/q_standing.csv"
+    app.v_ref_path = "data/v_standing.csv"
+    app.contact_schedule_path = "data/contact_standing.csv"
+    app.mpc.gravity = [0.0, 0.0, -9.81]
+    app.mpc.physics_dt = 0.005
+    from mpc_ilqr_tpu.mpc import runner
+
+    prob = runner.setup(app)
+    prob = prob._replace(cfg=dataclasses.replace(prob.cfg, N=6, max_iterations=3))
+    hist, _ = runner.run_simulation(prob, sim_steps=8, verbose=False)
+    z = [x[2] for x in hist["x"]]
+    assert min(z) > 1.0
+    assert hist["cost"][-1] < 100.0
