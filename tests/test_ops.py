@@ -84,3 +84,37 @@ def test_assoc_riccati_long_horizon_f64():
     K_a, k_a = backward_pass_assoc(A, B, quad, reg)
     np.testing.assert_allclose(np.asarray(K_a), np.asarray(K_s), rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(k_a), np.asarray(k_s), rtol=1e-8, atol=1e-9)
+
+
+def test_quat_fk_matches_matrix_fk():
+    """The Mosaic-safe quaternion/one-hot FK (ops/quat_fk.py, round-2 kernel
+    prep) must reproduce the production matrix FK on H1 and H1-with-hand."""
+    import os
+
+    from mpc_ilqr_tpu.dynamics import math as qm
+    from mpc_ilqr_tpu.dynamics.kinematics import forward_kinematics
+    from mpc_ilqr_tpu.models.robot import H1_SCENE_XML, load_h1, load_robot
+    from mpc_ilqr_tpu.ops.quat_fk import build_level_plans, quat_frames
+
+    rng = np.random.default_rng(11)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    models = [
+        load_h1(dtype=jnp.float64),
+        load_robot(
+            os.path.join(root, "robots/h1_description/mjcf/h1_with_hand.xml"),
+            dtype=jnp.float64,
+        ),
+    ]
+    for model in models:
+        plans = build_level_plans(model)
+        q = np.zeros(model.nq)
+        q[:3] = rng.normal(size=3)
+        quat = rng.normal(size=4)
+        q[3:7] = quat / np.linalg.norm(quat)
+        q[7:] = rng.normal(0, 0.5, model.nq - 7)
+        qj = jnp.asarray(q)
+        Q, P = quat_frames(model, plans, qj)
+        fr = forward_kinematics(model, qj)
+        np.testing.assert_allclose(np.asarray(P), np.asarray(fr.p), atol=1e-12)
+        R_from_quat = np.asarray(qm.quat_to_mat(Q))
+        np.testing.assert_allclose(R_from_quat, np.asarray(fr.R), atol=1e-12)
