@@ -56,14 +56,6 @@ def main():
           f"dt={app.mpc.dt} | references: {prob.refs.length} rows | device: {jax.devices()[0]}")
 
     prof = Profiler(enabled=True)
-    step_logger = iolog.StepLogger(
-        os.path.join(app.resolve(app.logs_dir), "mpc_log.csv"), model.nx, model.nu
-    )
-    traj_logger = (
-        iolog.OptimalTrajectoryLogger(app.resolve(app.results_path), model.nq, model.nu)
-        if app.save_trajectories
-        else None
-    )
 
     import time
 
@@ -80,6 +72,15 @@ def main():
         if args.profile:
             print(prof.report())
         return
+
+    step_logger = iolog.StepLogger(
+        os.path.join(app.resolve(app.logs_dir), "mpc_log.csv"), model.nx, model.nu
+    )
+    traj_logger = (
+        iolog.OptimalTrajectoryLogger(app.resolve(app.results_path), model.nq, model.nu)
+        if app.save_trajectories
+        else None
+    )
 
     t0 = time.perf_counter()
     hist, _ = runner.run_simulation(

@@ -24,7 +24,9 @@ def load_q_optimal(path):
         rows = list(csv.reader(f))
     header = rows[0]
     cols = {c: i for i, c in enumerate(header)}
-    data = np.array([[float(v) for v in r] for r in rows[1:]])
+    data = np.atleast_2d(np.array([[float(v) for v in r] for r in rows[1:]]))
+    if data.size == 0:
+        raise SystemExit(f"{path} has no data rows — run the MPC first.")
     q_idx = [cols[c] for c in header if c.startswith("q_")]
     t = data[:, cols["time_sec"]] if "time_sec" in cols else np.arange(len(data)) * 0.02
     return t, data[:, q_idx]
