@@ -2,8 +2,8 @@
 
 Replaces the reference's dynamics backend (robot_utils.cpp:100-160):
 - `mass_matrix`      composite M(q) via body Jacobians (CRB-equivalent)
-- `bias_forces`      Coriolis/centrifugal/gravity via a jvp through the
-                     body-velocity map (no hand-derived Christoffel terms)
+- `bias_forces`      Coriolis/centrifugal/gravity via an analytic
+                     level-batched RNEA recursion (world frame)
 - `contact_terms`    smooth compliant point contact vs. the ground plane,
                      integrated implicitly (stands in for MuJoCo's
                      Newton/elliptic-cone solver, robot_utils.cpp:588-592)
@@ -18,10 +18,10 @@ Because `step` is pure jnp, `jax.jacfwd(step)` replaces the reference's
 1,775-serial-rollout finite-difference linearization (robot_utils.cpp:120-160)
 with one batched 70-tangent sweep.
 
-Compile-size discipline: `step` runs exactly ONE forward-kinematics pass —
-its tangent (for the Coriolis terms) comes from the same jvp that produces
-the primal, and M, bias, and contact all share those frames. Keeping the
-traced graph small is what keeps XLA compiles fast.
+Compile-size discipline: `step` runs exactly ONE forward-kinematics pass;
+M, bias, and contact all share those frames, and the Coriolis accelerations
+come from the analytic recursion rather than a second differentiated pass.
+Keeping the traced graph small is what keeps XLA compiles fast.
 """
 from __future__ import annotations
 

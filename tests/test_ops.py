@@ -118,3 +118,28 @@ def test_quat_fk_matches_matrix_fk():
         np.testing.assert_allclose(np.asarray(P), np.asarray(fr.p), atol=1e-12)
         R_from_quat = np.asarray(qm.quat_to_mat(Q))
         np.testing.assert_allclose(R_from_quat, np.asarray(fr.R), atol=1e-12)
+
+
+def test_mosaic_safe_step_matches_engine():
+    """The Pallas-ready step formulation (ops/quat_step.py: quaternion-only
+    algebra, one-hot gathers, masked solve) equals engine.step exactly."""
+    import jax.numpy as jnp2
+
+    from mpc_ilqr_tpu.dynamics import engine
+    from mpc_ilqr_tpu.models.robot import load_h1, standing_state
+    from mpc_ilqr_tpu.ops.quat_step import build_step_plan, step_mosaic
+
+    model = load_h1(gravity=(0, 0, -1.0), timestep=0.02, dtype=jnp2.float64)
+    plan = build_step_plan(model)
+    rng = np.random.default_rng(5)
+    x = standing_state(model)
+    x = x.at[7:26].add(jnp2.asarray(rng.normal(0, 0.2, 19)))
+    x = x.at[model.nq :].add(jnp2.asarray(rng.normal(0, 0.3, model.nv)))
+    u = jnp2.asarray(rng.normal(0, 3.0, model.nu))
+    xa = engine.step(model, x, u)
+    xb = step_mosaic(model, plan, x, u)
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(xa), atol=1e-10)
+    # and with substeps
+    xa2 = engine.step(model, x, u, 2)
+    xb2 = step_mosaic(model, plan, x, u, 2)
+    np.testing.assert_allclose(np.asarray(xb2), np.asarray(xa2), atol=1e-10)
