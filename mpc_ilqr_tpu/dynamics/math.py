@@ -31,7 +31,9 @@ def quat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_conj(q: jnp.ndarray) -> jnp.ndarray:
-    return q * jnp.array([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+    # Constant-free form (a sign-vector literal would be a captured constant
+    # inside Pallas kernels).
+    return jnp.concatenate([q[..., :1], -q[..., 1:4]], axis=-1)
 
 
 def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

@@ -23,12 +23,25 @@ HP = jax.lax.Precision.HIGHEST
 
 
 def cholesky_masked(A: jnp.ndarray) -> jnp.ndarray:
-    """Lower Cholesky factor of an SPD (n,n) matrix, unrolled n pivots."""
+    """Lower Cholesky factor of an SPD (n,n) (or batched) matrix, unrolled
+    n pivots. Row mask via iota (no captured constants — kernel-safe)."""
     n = A.shape[-1]
-    rows = jnp.arange(n)
-    L = jnp.zeros_like(A)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     S = A
-    for k in range(n):  # static unroll: n is a shape constant
+    if A.ndim == 2:
+        # Kernel-safe path: build L column-by-column with concatenation
+        # (column .at-set lowers to an unsupported scatter in Mosaic).
+        cols = []
+        for k in range(n):
+            colk = S[:, k]
+            dk = colk[k]
+            inv = jax.lax.rsqrt(dk)
+            lk = jnp.where(rows >= k, colk * inv, 0.0)
+            cols.append(lk[:, None])
+            S = S - lk[:, None] * lk[None, :]
+        return jnp.concatenate(cols, axis=1)
+    L = jnp.zeros_like(A)
+    for k in range(n):  # batched path (vmap-friendly .at updates)
         colk = S[..., :, k]
         dk = colk[..., k]
         inv = jax.lax.rsqrt(dk)
@@ -39,14 +52,35 @@ def cholesky_masked(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve_tri_masked(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    """Solve (L Lᵀ) X = B with B (n, m), L lower-triangular."""
+    """Solve (L Lᵀ) X = B with B (n, m) (or batched (..., n, m)),
+    L lower-triangular. 2-D row forms so every dot is a plain matmul
+    (Mosaic-kernel-safe for the unbatched case)."""
     n = L.shape[-1]
+    if L.ndim == 2:
+
+        def set_row(M, row, k):
+            # concat without empty slices (Mosaic rejects zero-size vectors)
+            pieces = ([row] if k == 0 else [M[:k], row])
+            if k < n - 1:
+                pieces.append(M[k + 1 :])
+            return jnp.concatenate(pieces, axis=0)
+
+        Y = jnp.zeros_like(B)
+        for k in range(n):  # forward: y[j>=k] still zero -> dot sums j<k
+            yk = (B[k : k + 1, :] - jnp.matmul(L[k : k + 1, :], Y, precision=HP)) / L[k, k]
+            Y = set_row(Y, yk, k)
+        X = jnp.zeros_like(B)
+        for i in range(n):  # backward with L^T rows = L columns
+            k = n - 1 - i
+            xk = (Y[k : k + 1, :] - jnp.matmul(L[:, k][None, :], X, precision=HP)) / L[k, k]
+            X = set_row(X, xk, k)
+        return X
     Y = jnp.zeros_like(B)
-    for k in range(n):  # forward: y[j>=k] still zero -> dot sums j<k
+    for k in range(n):
         yk = (B[..., k, :] - jnp.einsum("...i,...im->...m", L[..., k, :], Y, precision=HP)) / L[..., k, k][..., None]
         Y = Y.at[..., k, :].set(yk)
     X = jnp.zeros_like(B)
-    for i in range(n):  # backward with L^T rows = L columns
+    for i in range(n):
         k = n - 1 - i
         xk = (Y[..., k, :] - jnp.einsum("...i,...im->...m", L[..., :, k], X, precision=HP)) / L[..., k, k][..., None]
         X = X.at[..., k, :].set(xk)

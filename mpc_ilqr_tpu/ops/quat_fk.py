@@ -83,16 +83,19 @@ def quat_frames(model: RobotModel, plans: Tuple[LevelPlan, ...], q: jnp.ndarray)
             continue
         gp = jnp.asarray(plan.gather_parent, dt)
         sc = jnp.asarray(plan.scatter_child, dt)
-        gi = jnp.asarray(plan.body_idx)
+        cs = sc.T  # (g, B) child gather = scatter transpose
         Qp = jnp.matmul(gp, Q, precision=HP)  # (g,4) parent quats
         Pp = jnp.matmul(gp, P, precision=HP)  # (g,3)
-        Qb = model.body_quat[gi]
-        Pi = Pp + qm.quat_rotate(Qp, model.body_pos[gi])
+        # One-hot gathers of the children's model rows (Mosaic-safe: no
+        # traced-array fancy indexing).
+        Qb = jnp.matmul(cs, model.body_quat.astype(dt), precision=HP)
+        Pb = jnp.matmul(cs, model.body_pos.astype(dt), precision=HP)
+        Pi = Pp + qm.quat_rotate(Qp, Pb)
         Qi = qm.quat_mul(Qp, Qb)
         if plan.kind == "hinge":
             th = jnp.matmul(jnp.asarray(plan.qsel, dt), q, precision=HP)  # (g,)
-            ax = model.jnt_axis[gi]
-            jp = model.jnt_pos[gi]
+            ax = jnp.matmul(cs, model.jnt_axis.astype(dt), precision=HP)
+            jp = jnp.matmul(cs, model.jnt_pos.astype(dt), precision=HP)
             Qj = qm.quat_axis_angle(ax, th)
             Pi = Pi + qm.quat_rotate(Qi, jp - qm.quat_rotate(Qj, jp))
             Qi = qm.quat_mul(Qi, Qj)

@@ -143,3 +143,25 @@ def test_mosaic_safe_step_matches_engine():
     xa2 = engine.step(model, x, u, 2)
     xb2 = step_mosaic(model, plan, x, u, 2)
     np.testing.assert_allclose(np.asarray(xb2), np.asarray(xa2), atol=1e-10)
+
+
+def test_pallas_rollout_kernel_interpret():
+    """Whole-rollout Pallas kernel (experimental): interpret-mode equivalence
+    with the XLA rollout. (TPU compilation currently blocked by a Mosaic
+    internal assert — see ops/rollout_kernel.py STATUS.)"""
+    from mpc_ilqr_tpu.dynamics import engine
+    from mpc_ilqr_tpu.ilqr.solver import ILQRConfig, rollout
+    from mpc_ilqr_tpu.models.robot import load_h1, standing_state
+    from mpc_ilqr_tpu.ops.quat_step import build_step_plan
+    from mpc_ilqr_tpu.ops.rollout_kernel import rollout_pallas
+
+    model = load_h1(gravity=(0, 0, -1.0), timestep=0.02)
+    plan = build_step_plan(model)
+    x0 = standing_state(model)
+    u = engine.gravity_comp(model, x0)
+    us = jnp.tile(u[None], (8, 1))
+    xs_ref = rollout(model, ILQRConfig(N=8), x0, us)
+    xs_pal = rollout_pallas(model, plan, x0, us, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(xs_pal), np.asarray(xs_ref, dtype=np.float32), atol=2e-4
+    )
