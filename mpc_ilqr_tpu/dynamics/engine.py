@@ -106,10 +106,16 @@ def _body_accelerations(model: RobotModel, fr: KinFrames, v: jnp.ndarray, omega,
             if not group:
                 continue
             gi = np.array(group)
-            par = jnp.asarray(parent[gi])
+            par = parent[gi]
+            # World-rooted bodies: the "parent" is the static world —
+            # zero angular velocity/acceleration, CoM at the origin.
+            nonroot = jnp.asarray((par >= 0).astype(np.float64), v.dtype)[:, None]
+            par_safe = jnp.asarray(np.maximum(par, 0))
             is_hinge = model.body_jnt_type[group[0]] == JNT_HINGE
-            om_p = omega[par]
-            al_p = alpha[par]
+            om_p = omega[par_safe] * nonroot
+            al_p = alpha[par_safe] * nonroot
+            pc_p = pc[par_safe] * nonroot
+            ac_p = a_c[par_safe] * nonroot
             if is_hinge:
                 d = jnp.asarray(dadr[gi])
                 qd_g = v[d][:, None]
@@ -117,12 +123,12 @@ def _body_accelerations(model: RobotModel, fr: KinFrames, v: jnp.ndarray, omega,
                 o = fr.dof_anchor[d]
                 al_i = al_p + jnp.cross(om_p, w) * qd_g
             else:  # fixed: inherits parent's motion; anchor = parent CoM
-                o = pc[par]
+                o = pc_p
                 al_i = al_p
             om_i = omega[jnp.asarray(gi)]
             # anchor acceleration from the parent's rigid motion about its CoM
-            r_o = o - pc[par]
-            a_o = a_c[par] + jnp.cross(al_p, r_o) + jnp.cross(om_p, jnp.cross(om_p, r_o))
+            r_o = o - pc_p
+            a_o = ac_p + jnp.cross(al_p, r_o) + jnp.cross(om_p, jnp.cross(om_p, r_o))
             r_c = pc[jnp.asarray(gi)] - o
             a_ci = a_o + jnp.cross(al_i, r_c) + jnp.cross(om_i, jnp.cross(om_i, r_c))
             alpha = alpha.at[gi].set(al_i)
@@ -200,8 +206,16 @@ def contact_terms(model: RobotModel, fr: KinFrames, v: jnp.ndarray, h):
     f_el = jnp.concatenate([jnp.zeros_like(vel[:, :2]), fn_el[:, None]], axis=-1)
 
     # Implicit damping coefficients (world frame; plane normal = z).
+    # contact_impratio is MuJoCo's frictional-to-normal impedance ratio
+    # (opt.impratio; the reference sets 100, robot_utils.cpp:58-63): it
+    # sharpens the stiction regularization so the tangential (frictional)
+    # viscosity below scales with sqrt(impratio) while the saturated Coulomb
+    # limit mu*fn is unchanged — harder friction, same cone. (A linear law,
+    # eps ∝ 1/ir², pushes h·ct to ~1e4·M and ill-conditions the float32
+    # implicit solve: tracking cost at g=-9.81 regressed 1.1 → 132.)
     vt = vel[:, :2]
-    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-6)
+    eps = 1e-6 / jnp.maximum(model.contact_impratio, 1e-3)
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + eps)
     ct = model.contact_friction * fn_el / vt_norm  # stiction-like viscous
     cn = model.contact_damping + h * model.contact_stiffness
     c_diag = jnp.stack([ct, ct, jnp.broadcast_to(cn, ct.shape)], axis=-1) * active[:, None]

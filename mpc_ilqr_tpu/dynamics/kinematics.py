@@ -89,9 +89,15 @@ def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> KinFrames:
             if not group:
                 continue
             gi = np.array(group)
-            par = jnp.asarray(parent[gi])
-            Rp = R[par]  # (g,3,3)
-            pp = p[par]
+            par = parent[gi]
+            # World-rooted bodies (parent = -1): the parent frame is the
+            # world (R = I, p = 0), NOT a wrapped -1 gather.
+            root = jnp.asarray((par < 0).astype(np.float64), dt)
+            par_safe = jnp.asarray(np.maximum(par, 0))
+            Rp = R[par_safe] * (1.0 - root)[:, None, None] + jnp.eye(3, dtype=dt)[
+                None
+            ] * root[:, None, None]
+            pp = p[par_safe] * (1.0 - root)[:, None]
             Rb = qm.quat_to_mat(model.body_quat[gi])
             Ri = jnp.matmul(Rp, Rb, precision=HIGHEST)
             pi = pp + jnp.einsum("gij,gj->gi", Rp, model.body_pos[gi], precision=HIGHEST)

@@ -15,6 +15,20 @@ def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + eps)
 
 
+def cross(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Component-form cross product over the last axis (..., 3).
+
+    Equivalent to jnp.cross but lowers inside Pallas TPU kernels: jnp.cross
+    lane-rolls the 3-wide last axis, which trips a Mosaic-internal tiling
+    assert (layout.h offsets_[0] < tiling_[0]) on 2-D operands; the
+    slice+stack form compiles (verified by probe kernels, round 2)."""
+    u0, u1, u2 = u[..., 0], u[..., 1], u[..., 2]
+    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [u1 * v2 - u2 * v1, u2 * v0 - u0 * v2, u0 * v1 - u1 * v0], axis=-1
+    )
+
+
 def quat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Hamilton product a ⊗ b, both wxyz."""
     aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
@@ -41,8 +55,8 @@ def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     w = q[..., 0:1]
     u = q[..., 1:4]
     # v' = v + 2 w (u × v) + 2 u × (u × v)
-    uv = jnp.cross(u, v)
-    return v + 2.0 * (w * uv + jnp.cross(u, uv))
+    uv = cross(u, v)
+    return v + 2.0 * (w * uv + cross(u, uv))
 
 
 def quat_rotate_inv(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

@@ -72,7 +72,11 @@ class ILQRSolution(NamedTuple):
     cost: jnp.ndarray  # ()
     iterations: jnp.ndarray  # () i32
     reg: jnp.ndarray  # () final lambda
-    success: jnp.ndarray  # () bool — at least one accepted step or converged start
+    # () bool — finite cost AND (at least one accepted line-search step OR the
+    # solve was already stationary: no alpha could move the cost by more than
+    # the tolerance). A solve where every line search fails badly reports
+    # False so the MPC fallback engages (mirror of mpc.cpp:82-91).
+    success: jnp.ndarray
 
 
 def rollout(model: RobotModel, cfg: ILQRConfig, x0: jnp.ndarray, us: jnp.ndarray) -> jnp.ndarray:
@@ -185,8 +189,11 @@ def line_search(
 ):
     """All alphas rolled out in one batched closed-loop scan (ilqr.cpp:311-361).
 
-    Returns (accepted, xs, us, cost) for the selected alpha: the largest
-    improving one in first_accept mode (reference semantics), or the argmin.
+    Returns (accepted, xs, us, cost, best_cost) where (xs, us, cost) belong to
+    the selected alpha — the largest improving one in first_accept mode
+    (reference semantics), or the argmin — and best_cost is the minimum cost
+    over all alphas (inf-masked), used by solve() to distinguish "stationary:
+    nothing can improve" from "broken: everything got worse".
     """
     alphas = jnp.asarray(cfg.alphas, dtype=x0.dtype)
 
@@ -216,7 +223,7 @@ def line_search(
     xs = jnp.take(xs_all, idx, axis=0)
     us = jnp.take(us_all, idx, axis=0)
     cost = jnp.take(costs, idx, axis=0)
-    return accepted, xs, us, cost
+    return accepted, xs, us, cost, jnp.min(costs)
 
 
 def solve(
@@ -228,8 +235,17 @@ def solve(
     ubar_init: jnp.ndarray,
     xbar_init: jnp.ndarray | None = None,
     reg0: jnp.ndarray | float | None = None,
+    ls_fn=None,
 ) -> ILQRSolution:
     """Multi-iteration iLQR (iLQR::solve, ilqr.cpp:521-660), one jit graph.
+
+    ls_fn optionally replaces the built-in line search with a drop-in
+    implementation of the same contract
+        ls_fn(win, x0, xbar, ubar, K, kff, baseline) ->
+            (accepted, xs, us, cost, best_cost)
+    — e.g. the device-mesh-sharded search from parallel/sharded_solve.py
+    (alphas spread over the 'ls' mesh axis, winner chosen via a cross-device
+    collective).
 
     The outer lax.while_loop carries (xbar, ubar, K, kff, cost, reg, iter,
     done); each iteration re-rolls the nominal trajectory, linearizes,
@@ -266,6 +282,8 @@ def solve(
         it: jnp.ndarray
         done: jnp.ndarray
         ever_accepted: jnp.ndarray
+        stationary: jnp.ndarray
+        diverged: jnp.ndarray
 
     init = Carry(
         xbar=xbar_rolled,
@@ -277,6 +295,8 @@ def solve(
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
         ever_accepted=jnp.zeros((), bool),
+        stationary=jnp.zeros((), bool),
+        diverged=jnp.zeros((), bool),
     )
 
     def cond(c: Carry):
@@ -297,6 +317,7 @@ def solve(
             xs: jnp.ndarray
             us: jnp.ndarray
             cost: jnp.ndarray
+            best: jnp.ndarray
 
         def att_cond(a: Att):
             return (~a.ok) & (a.attempt < 2)
@@ -316,11 +337,16 @@ def solve(
                 K, kff = backward_pass_assoc(A, B, quad, a.reg, cfg.pd_bump)
             else:
                 K, kff = backward_pass(A, B, quad, a.reg, cfg.pd_bump)
-            ok, xs, us, cost = line_search(
-                model, cp, cfg, win, x0, xbar, c.ubar, K, kff, baseline
-            )
+            if ls_fn is not None:
+                ok, xs, us, cost, best = ls_fn(
+                    win, x0, xbar, c.ubar, K, kff, baseline
+                )
+            else:
+                ok, xs, us, cost, best = line_search(
+                    model, cp, cfg, win, x0, xbar, c.ubar, K, kff, baseline
+                )
             reg_next = jnp.where(ok, a.reg, jnp.minimum(a.reg * 10.0, cfg.reg_max))
-            return Att(a.attempt + 1, reg_next, ok, K, kff, xs, us, cost)
+            return Att(a.attempt + 1, reg_next, ok, K, kff, xs, us, cost, best)
 
         a0 = Att(
             attempt=jnp.zeros((), jnp.int32),
@@ -331,8 +357,16 @@ def solve(
             xs=xbar,
             us=c.ubar,
             cost=baseline,
+            best=jnp.asarray(jnp.inf, dtype),
         )
         a = jax.lax.while_loop(att_cond, att_body, a0)
+
+        # Stationary: no alpha improved, but none moved the cost beyond the
+        # convergence tolerance either — the warm start is already optimal.
+        # (When ~a.ok every cost is >= baseline − accept_threshold, so this
+        # is a tight band around baseline; a solve where everything blows up
+        # past baseline + tol stays non-stationary and reports failure.)
+        stationary_now = (~a.ok) & (a.best <= baseline + cfg.tolerance)
 
         new_cost = jnp.where(a.ok, a.cost, c.cost)
         new_ubar = jnp.where(a.ok, a.us, c.ubar)
@@ -353,6 +387,8 @@ def solve(
             it=c.it + 1,
             done=give_up | converged | diverged,
             ever_accepted=c.ever_accepted | a.ok,
+            stationary=c.stationary | stationary_now,
+            diverged=c.diverged | diverged,
         )
 
     c = jax.lax.while_loop(cond, body, init)
@@ -364,5 +400,7 @@ def solve(
         cost=c.cost,
         iterations=c.it,
         reg=c.reg,
-        success=jnp.isfinite(c.cost),
+        success=(c.ever_accepted | c.stationary)
+        & (~c.diverged)
+        & jnp.isfinite(c.cost),
     )

@@ -209,6 +209,11 @@ def parse_mjcf(path: str) -> MJCFSpec:
                 )
                 w, V = np.linalg.eigh(I)
                 inertia = w
+                # eigh may return a reflection (det V = -1); mat_to_quat on a
+                # non-rotation would silently yield a different orientation.
+                # Negating one eigenvector keeps V @ diag(w) @ V.T invariant.
+                if np.linalg.det(V) < 0:
+                    V = V * np.array([1.0, 1.0, -1.0])
                 # Fold the eigenbasis into iquat (compose with given iquat).
                 from mpc_ilqr_tpu.models._np_quat import mat_to_quat, np_quat_mul
 

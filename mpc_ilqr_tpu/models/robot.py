@@ -69,6 +69,10 @@ class RobotModel(struct.PyTreeNode):
     contact_stiffness: jnp.ndarray  # () N/m normal spring
     contact_damping: jnp.ndarray  # () N·s/m normal damper
     contact_friction: jnp.ndarray  # () Coulomb mu (smoothed)
+    # () frictional-to-normal impedance ratio (MuJoCo opt.impratio; the
+    # reference sets 100, robot_utils.cpp:58-63). Sharpens the stiction
+    # regularization: tangential viscosity scales ~linearly with it.
+    contact_impratio: jnp.ndarray
     key_qpos: jnp.ndarray  # (nq,) "home" keyframe (zeros if absent)
 
     # Convenience ------------------------------------------------------------
@@ -105,6 +109,7 @@ def load_robot(
     contact_stiffness: float = 3.0e4,
     contact_damping: float = 3.0e3,
     contact_friction: float = 1.0,
+    contact_impratio: float = 1.0,
     gravity: Optional[Tuple[float, float, float]] = None,
     timestep: Optional[float] = None,
     dtype=jnp.float32,
@@ -255,6 +260,7 @@ def load_robot(
         contact_stiffness=arr(contact_stiffness),
         contact_damping=arr(contact_damping),
         contact_friction=arr(contact_friction),
+        contact_impratio=arr(contact_impratio),
         key_qpos=arr(key_qpos),
     )
 

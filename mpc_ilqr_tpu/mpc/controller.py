@@ -94,15 +94,19 @@ def step_once(
     refs: ReferenceSet,
     state: MPCState,
     x_measured: jnp.ndarray,
+    ls_fn=None,
 ):
     """MPC::stepOnce (mpc.cpp:40-127) as one pure jitted function.
 
+    ls_fn optionally swaps in a mesh-sharded line search (see ilqr.solve).
     Returns (new_state, u_apply, diagnostics).
     """
     win = extract_window(refs, state.t_idx, cfg.N)  # MPC_extractReference
     ubar0, xbar0 = _warm_start(model, cfg, x_measured, state)  # MPC_warmStart
 
-    sol = ilqr.solve(model, cp, cfg, x_measured, win, ubar0, xbar0, reg0=state.reg)
+    sol = ilqr.solve(
+        model, cp, cfg, x_measured, win, ubar0, xbar0, reg0=state.reg, ls_fn=ls_fn
+    )
 
     # TV-LQR control law u = ū₀ + K₀ (x − x̄₀)  (mpc.cpp:97-101)
     u_tvlqr = sol.ubar[0] + jnp.matmul(
@@ -113,13 +117,19 @@ def step_once(
     u_fallback = jnp.where(state.has_prev, state.prev_ubar[0], jnp.zeros_like(u_tvlqr))
     u_apply = jnp.where(ok, u_tvlqr, u_fallback)
 
+    # On failure, leave the warm start and time index untouched (the
+    # reference keeps prev_* and t_idx when stepOnce fails, mpc.cpp:85-118);
+    # a non-finite solution must never poison the solve-to-solve carry.
+    keep = lambda new, old: jnp.where(ok, new, old)
     new_state = MPCState(
-        t_idx=state.t_idx + 1,
-        prev_xbar=sol.xbar,
-        prev_ubar=sol.ubar,
-        prev_K=sol.K,
-        has_prev=jnp.ones((), bool),
-        reg=sol.reg,
+        t_idx=keep(state.t_idx + 1, state.t_idx),
+        prev_xbar=keep(sol.xbar, state.prev_xbar),
+        prev_ubar=keep(sol.ubar, state.prev_ubar),
+        prev_K=keep(sol.K, state.prev_K),
+        has_prev=state.has_prev | ok,
+        # λ persists across solves even on failure (iLQR keeps reg_lambda_ in
+        # the reference) — but only if it stayed finite.
+        reg=jnp.where(jnp.isfinite(sol.reg), sol.reg, state.reg),
     )
     diag = MPCDiagnostics(cost=sol.cost, iterations=sol.iterations, reg=sol.reg, solve_ok=ok)
     return new_state, u_apply, diag

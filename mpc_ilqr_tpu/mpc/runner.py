@@ -49,6 +49,9 @@ def setup(app: AppConfig) -> Problem:
         contact_stiffness=app.engine["contact_stiffness"],
         contact_damping=app.engine["contact_damping"],
         contact_friction=app.engine["contact_friction"],
+        # mpc.contact_impratio now shapes the engine's own friction hardness
+        # (robot_utils.cpp:58-63 semantics), not just the MuJoCo plant.
+        contact_impratio=app.mpc.contact_impratio,
         dtype=dtype,
     )
     cp = build_cost_params(

@@ -50,6 +50,7 @@ class LevelArrays(NamedTuple):
     scatter_child: np.ndarray  # (B, g)
     qsel: np.ndarray  # (g, nq) hinge angle selector
     dof_sel: np.ndarray  # (g, nv) hinge dof selector
+    root_rows: np.ndarray  # (g, 1) 1.0 where the parent is the world
 
 
 class StepPlan(NamedTuple):
@@ -88,16 +89,19 @@ def build_step_plan(model: RobotModel) -> StepPlan:
             sc = np.zeros((B, g))
             qs = np.zeros((g, nq))
             ds = np.zeros((g, nv))
+            rr = np.zeros((g, 1))
             for r, i in enumerate(group):
                 p = model.body_parent[i]
                 if p >= 0:
                     gp[r, p] = 1.0
+                else:
+                    rr[r, 0] = 1.0  # world-rooted: parent quat is identity
                 cs[r, i] = 1.0
                 sc[i, r] = 1.0
                 if kind == "hinge":
                     qs[r, model.body_qpos_adr[i]] = 1.0
                     ds[r, model.body_dof_adr[i]] = 1.0
-            levels.append(LevelArrays(gp, cs, sc, qs, ds))
+            levels.append(LevelArrays(gp, cs, sc, qs, ds, rr))
             kinds.append(kind)
 
     hinge_sel = np.zeros((nv, B))
@@ -193,7 +197,11 @@ def _quat_frames(model, plan: StepPlan, q, dt):
         gp = jnp.asarray(lv.gather_parent, dt)
         cs = jnp.asarray(lv.child_sel, dt)
         sc = jnp.asarray(lv.scatter_child, dt)
-        Qp = jnp.matmul(gp, Q, precision=HP)
+        # World-rooted rows gather all-zero parents; add the identity quat
+        # (iota-built, no captured constant) so quat_mul composes correctly.
+        rr = jnp.asarray(lv.root_rows, dt)
+        e0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1) == 0).astype(dt)
+        Qp = jnp.matmul(gp, Q, precision=HP) + jnp.matmul(rr, e0, precision=HP)
         Pp = jnp.matmul(gp, P, precision=HP)
         Qb = jnp.matmul(cs, model.body_quat.astype(dt), precision=HP)
         Pb = jnp.matmul(cs, model.body_pos.astype(dt), precision=HP)
@@ -247,7 +255,7 @@ def step_mosaic(model: RobotModel, plan: StepPlan, x: jnp.ndarray, u: jnp.ndarra
         pc = P + qm.quat_rotate(Q, model.body_ipos.astype(dt))
         anc = jnp.asarray(plan.anc, dt)
         diff = pc[:, None, :] - O[None, :, :]
-        rot_cols = jnp.cross(jnp.broadcast_to(W[None], diff.shape), diff)
+        rot_cols = qm.cross(jnp.broadcast_to(W[None], diff.shape), diff)
         colsv = (lin[None, :, None] * W[None] + (1 - lin)[None, :, None] * rot_cols) * anc[:, :, None]
         colsw = ((1 - lin)[None, :, None] * W[None]) * anc[:, :, None]
 
@@ -266,7 +274,7 @@ def step_mosaic(model: RobotModel, plan: StepPlan, x: jnp.ndarray, u: jnp.ndarra
             if kind == "free":
                 om_r = jnp.matmul(cs, omega, precision=HP)  # (1,3)
                 r = jnp.matmul(cs, pc - P, precision=HP)
-                acr = jnp.cross(om_r, jnp.cross(om_r, r))
+                acr = qm.cross(om_r, qm.cross(om_r, r))
                 a_c = a_c + jnp.matmul(sc, acr, precision=HP)
                 continue
             gp = jnp.asarray(lv.gather_parent, dt)
@@ -279,16 +287,16 @@ def step_mosaic(model: RobotModel, plan: StepPlan, x: jnp.ndarray, u: jnp.ndarra
                 qd_g = jnp.matmul(ds, v, precision=HP)[:, None]
                 w_g = jnp.matmul(ds, W, precision=HP)
                 o_g = jnp.matmul(ds, O, precision=HP)
-                al_i = al_p + jnp.cross(om_p, w_g) * qd_g
+                al_i = al_p + qm.cross(om_p, w_g) * qd_g
             else:
                 o_g = pc_p
                 al_i = al_p
             om_i = jnp.matmul(cs, omega, precision=HP)
             r_o = o_g - pc_p
-            a_o = ac_p + jnp.cross(al_p, r_o) + jnp.cross(om_p, jnp.cross(om_p, r_o))
+            a_o = ac_p + qm.cross(al_p, r_o) + qm.cross(om_p, qm.cross(om_p, r_o))
             pc_g = jnp.matmul(cs, pc, precision=HP)
             r_c = pc_g - o_g
-            a_ci = a_o + jnp.cross(al_i, r_c) + jnp.cross(om_i, jnp.cross(om_i, r_c))
+            a_ci = a_o + qm.cross(al_i, r_c) + qm.cross(om_i, qm.cross(om_i, r_c))
             alpha = alpha + jnp.matmul(sc, al_i, precision=HP)
             a_c = a_c + jnp.matmul(sc, a_ci, precision=HP)
 
@@ -296,30 +304,39 @@ def step_mosaic(model: RobotModel, plan: StepPlan, x: jnp.ndarray, u: jnp.ndarra
         Qin = qm.quat_mul(Q, model.body_iquat.astype(dt))
         Idiag = model.body_inertia.astype(dt)
         Iw_omega = qm.quat_rotate(Qin, Idiag * qm.quat_rotate_inv(Qin, omega))
-        n_body = qm.quat_rotate(Qin, Idiag * qm.quat_rotate_inv(Qin, alpha)) + jnp.cross(
+        n_body = qm.quat_rotate(Qin, Idiag * qm.quat_rotate_inv(Qin, alpha)) + qm.cross(
             omega, Iw_omega
         )
         f_body = model.body_mass[:, None].astype(dt) * (
             a_c - model.gravity[None, :].astype(dt)
         )
+        # COLUMN-form accumulation, kept 2-D all the way to the solve:
+        # integer-squeezing a size-1 LANE axis ([:, 0]) trips a Mosaic
+        # layout assert (bisected on hardware, round 2) — the one safe
+        # column->vector conversion is transpose + sublane-0 index (.T[0]),
+        # applied once after the velocity solve below.
         bias = jnp.zeros((model.nv, 1), dt)
         for b in range(B):
             bias = bias + jnp.matmul(colsv[b], f_body[b][:, None], precision=HP)
             bias = bias + jnp.matmul(colsw[b], n_body[b][:, None], precision=HP)
-        bias = bias[:, 0]
 
         # Mass matrix: per-body 2-D matmuls (static slices of the columns).
+        # The inertia rotation I_w @ Jw is vectorized over ALL bodies first
+        # ((B,1,4) quats against (B,nv,3) columns — 3-D crosses lower fine);
+        # per-body SCALAR quat algebra inside the loop does not (Mosaic
+        # bisect, round 2). Masses fold into colsv to avoid scalar reads.
+        IwJw_all = qm.quat_rotate(
+            Qin[:, None, :], Idiag[:, None, :] * qm.quat_rotate_inv(Qin[:, None, :], colsw)
+        )  # (B, nv, 3)
+        colsv_m = colsv * model.body_mass[:, None, None].astype(dt)
         M = _eye(model.nv, dt) * model.dof_armature.astype(dt)[None, :]
         for b in range(B):
-            Jv_b = colsv[b]  # (nv, 3) columns as rows
-            M = M + model.body_mass[b].astype(dt) * jnp.matmul(Jv_b, Jv_b.T, precision=HP)
-            Jw_b = colsw[b]
-            IwJw = qm.quat_rotate(Qin[b], Idiag[b] * qm.quat_rotate_inv(Qin[b], Jw_b))
-            M = M + jnp.matmul(Jw_b, IwJw.T, precision=HP)
+            M = M + jnp.matmul(colsv_m[b], colsv[b].T, precision=HP)
+            M = M + jnp.matmul(colsw[b], IwJw_all[b].T, precision=HP)
 
-        # Actuation + implicit contact.
+        # Actuation + implicit contact (tau as a column, see bias note).
         tau = jnp.matmul(jnp.asarray(plan.act_scatter, dt),
-                         model.act_gear.astype(dt) * u, precision=HP)
+                         (model.act_gear.astype(dt) * u)[:, None], precision=HP)
         lhs = M + h * _eye(model.nv, dt) * model.dof_damping.astype(dt)[None, :]
         if plan.cp_onehot.shape[0]:
             cb = jnp.asarray(plan.cp_onehot, dt)
@@ -328,7 +345,7 @@ def step_mosaic(model: RobotModel, plan: StepPlan, x: jnp.ndarray, u: jnp.ndarra
             pw = Pc + qm.quat_rotate(Qc, model.cp_pos.astype(dt))
             canc = jnp.asarray(plan.cp_anc, dt)
             diffc = pw[:, None, :] - O[None, :, :]
-            rotc = jnp.cross(jnp.broadcast_to(W[None], diffc.shape), diffc)
+            rotc = qm.cross(jnp.broadcast_to(W[None], diffc.shape), diffc)
             colc = (lin[None, :, None] * W[None] + (1 - lin)[None, :, None] * rotc) * canc[:, :, None]
             ncp = plan.cp_onehot.shape[0]
             vel = jnp.concatenate(
@@ -338,24 +355,33 @@ def step_mosaic(model: RobotModel, plan: StepPlan, x: jnp.ndarray, u: jnp.ndarra
             active = jnp.where(depth > 0.0, 1.0, 0.0).astype(dt)
             fn_el = model.contact_stiffness.astype(dt) * depth * active
             vt = vel[:, :2]
-            vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-6)
+            # impratio sharpens stiction (engine.contact_terms parity)
+            eps_f = 1e-6 / jnp.maximum(model.contact_impratio.astype(dt), 1e-3)
+            vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + eps_f)
             ct = model.contact_friction.astype(dt) * fn_el / vt_norm
             cn = model.contact_damping.astype(dt) + h * model.contact_stiffness.astype(dt)
             c_diag = jnp.stack([ct, ct, jnp.broadcast_to(cn, ct.shape)], -1) * active[:, None]
             f_el = jnp.concatenate([jnp.zeros_like(vt), fn_el[:, None]], -1)
-            tau_c = jnp.zeros((model.nv, 1), dt)
+            tau_c = jnp.zeros((model.nv, 1), dt)  # column (see bias note)
             for n in range(ncp):
                 Jc = colc[n] * c_diag[n][None, :]  # (nv, 3)
                 lhs = lhs + h * jnp.matmul(Jc, colc[n].T, precision=HP)
                 tau_c = tau_c + jnp.matmul(colc[n], f_el[n][:, None], precision=HP)
-            tau = tau + tau_c[:, 0]
+            tau = tau + tau_c
 
-        rhs = jnp.matmul(M, v, precision=HP) + h * (tau - bias)
-        v_next = spd_solve(lhs, rhs)
+        rhs = jnp.matmul(M, v[:, None], precision=HP) + h * (tau - bias)  # (nv,1)
+        from mpc_ilqr_tpu.ops.linalg import cholesky_masked, solve_tri_masked
+
+        L = cholesky_masked(lhs)
+        v_next_col = solve_tri_masked(L, rhs)  # (nv, 1), never lane-squeezed
+        v_next = v_next_col.T[0]  # Mosaic-safe: transpose + sublane-0 index
 
         # Integrate: linear map for hinges + free translation; quaternion
         # handled with static slices and concatenation (no value scatter).
-        qn = q + h * jnp.matmul(jnp.asarray(plan.qpos_from_dof, dt), v_next, precision=HP)
+        qn_col = q[:, None] + h * jnp.matmul(
+            jnp.asarray(plan.qpos_from_dof, dt), v_next_col, precision=HP
+        )
+        qn = qn_col.T[0]
         if plan.free_qpos >= 0:
             a, d = plan.free_qpos, plan.free_dof
             quat = qm.quat_integrate(q[a + 3 : a + 7], v_next[d + 3 : d + 6], h)

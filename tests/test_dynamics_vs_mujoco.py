@@ -174,3 +174,123 @@ def test_step_jacobian_finite(model):
     B = jax.jacfwd(lambda uu: engine.step(model, x, uu))(u)
     assert np.isfinite(np.asarray(A)).all() and np.isfinite(np.asarray(B)).all()
     assert A.shape == (model.nx, model.nx) and B.shape == (model.nx, model.nu)
+
+
+def test_impratio_stiffens_friction(model):
+    """contact_impratio maps MuJoCo's frictional-to-normal impedance ratio
+    (reference sets 100, robot_utils.cpp:58-63) onto the compliant model's
+    stiction regularization: at equal SMALL slip velocity the tangential
+    (frictional) reaction must scale up with impratio, while the saturated
+    Coulomb limit mu*fn at large slip stays unchanged."""
+    x = standing_state(model)
+
+    def tangential_force(ir, vx):
+        m = model.replace(contact_impratio=jnp.asarray(ir, jnp.float64))
+        xx = x.at[model.nq + 0].set(vx)  # base x velocity -> slip at the soles
+        f, _ = engine.contact_forces(m, xx)
+        return float(jnp.sum(jnp.abs(f[:, 0])))
+
+    # Small-slip regime: stiction viscosity scales ~sqrt(impratio) (the
+    # linear law ill-conditions the f32 implicit solve, see contact_terms).
+    soft = tangential_force(1.0, 1e-5)
+    hard = tangential_force(100.0, 1e-5)
+    assert hard > 5.0 * soft, f"impratio=100 tangential force {hard} !>> {soft}"
+
+    # Saturated regime: the Coulomb limit is impratio-independent.
+    sat1 = tangential_force(1.0, 0.05)
+    sat2 = tangential_force(100.0, 0.05)
+    np.testing.assert_allclose(sat2, sat1, rtol=2e-2)
+
+
+def test_fullinertia_roundtrip_vs_mujoco(tmp_path):
+    """fullinertia diagonalization must preserve the inertia tensor even when
+    eigh returns a reflection (det V = -1): pin M(q) against MuJoCo on a body
+    specified with off-diagonal inertia (ADVICE r1)."""
+    xml = """
+<mujoco model="fi"><option timestep="0.01" gravity="0 0 -9.81"/>
+<worldbody><body name="blob" pos="0 0 1">
+  <inertial pos="0.01 -0.02 0.03" mass="2.5"
+            fullinertia="0.09 0.07 0.05 0.02 -0.01 0.015"/>
+  <joint name="h1j" axis="0 1 0"/>
+  <geom type="sphere" size="0.1" contype="0" conaffinity="0"/>
+  <body name="blob2" pos="0.2 0 0">
+    <inertial pos="0 0 0" mass="1.0"
+              fullinertia="0.04 0.05 0.06 -0.012 0.008 -0.009"/>
+    <joint name="h2j" axis="1 0 0"/>
+    <geom type="sphere" size="0.05" contype="0" conaffinity="0"/>
+  </body>
+</body></worldbody>
+<actuator><motor joint="h1j"/><motor joint="h2j"/></actuator>
+</mujoco>
+"""
+    p = tmp_path / "fi.xml"
+    p.write_text(xml)
+    from mpc_ilqr_tpu.models.robot import load_robot
+
+    m = mujoco.MjModel.from_xml_path(str(p))
+    d = mujoco.MjData(m)
+    model = load_robot(str(p), dtype=jnp.float64)
+
+    q = np.array([0.37, -0.81])
+    d.qpos[:] = q
+    d.qvel[:] = 0
+    mujoco.mj_forward(m, d)
+    M_mj = np.zeros((m.nv, m.nv))
+    mujoco.mj_fullM(m, d, M_mj)
+
+    fr = kinematics.forward_kinematics(model, jnp.asarray(q))
+    M_jx = np.asarray(engine.mass_matrix(model, fr))
+    np.testing.assert_allclose(M_jx, M_mj, rtol=1e-5, atol=1e-10)
+
+
+def test_world_hinged_body_matches_mujoco(tmp_path):
+    """Regression: bodies hinged directly to the WORLD (parent = -1) must get
+    an identity parent frame, not a wrapped -1 gather (round-2 fix). Pins FK,
+    mass matrix, bias forces, and a dynamics step against MuJoCo on a
+    two-link pendulum under gravity."""
+    xml = """
+<mujoco model="dp"><option timestep="0.01" gravity="0 0 -9.81"/>
+<worldbody><body name="l1" pos="0.1 0.2 1.5" quat="0.9238795 0 0.3826834 0">
+  <inertial pos="0 0 -0.4" mass="1.2" diaginertia="0.02 0.02 0.004"/>
+  <joint name="j1" axis="0 1 0" damping="0.05"/>
+  <geom type="capsule" size="0.04 0.4" pos="0 0 -0.4" contype="0" conaffinity="0"/>
+  <body name="l2" pos="0 0 -0.8">
+    <inertial pos="0 0 -0.3" mass="0.7" diaginertia="0.01 0.01 0.002"/>
+    <joint name="j2" axis="1 0 0" damping="0.02"/>
+    <geom type="capsule" size="0.03 0.3" pos="0 0 -0.3" contype="0" conaffinity="0"/>
+  </body>
+</body></worldbody>
+<actuator><motor joint="j1"/><motor joint="j2"/></actuator>
+</mujoco>
+"""
+    p = tmp_path / "dp.xml"
+    p.write_text(xml)
+    from mpc_ilqr_tpu.models.robot import load_robot
+
+    m = mujoco.MjModel.from_xml_path(str(p))
+    d = mujoco.MjData(m)
+    model = load_robot(str(p), dtype=jnp.float64)
+
+    q = np.array([0.53, -0.91])
+    v = np.array([0.4, -0.7])
+    d.qpos[:] = q
+    d.qvel[:] = v
+    mujoco.mj_forward(m, d)
+
+    fr = kinematics.forward_kinematics(model, jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(fr.p), d.xpos[1:], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fr.R), d.xmat.reshape(-1, 3, 3)[1:], atol=1e-12)
+
+    M_mj = np.zeros((m.nv, m.nv))
+    mujoco.mj_fullM(m, d, M_mj)
+    np.testing.assert_allclose(np.asarray(engine.mass_matrix(model, fr)), M_mj, atol=1e-12)
+
+    bias = engine.bias_forces(model, jnp.asarray(q), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(bias), d.qfrc_bias, atol=1e-10)
+
+    d.ctrl[:] = [1.5, -0.8]
+    x = jnp.concatenate([jnp.asarray(q), jnp.asarray(v)])
+    x_next = engine.step(model, x, jnp.asarray(d.ctrl))
+    mujoco.mj_step(m, d)
+    np.testing.assert_allclose(np.asarray(x_next[: m.nq]), d.qpos, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(x_next[m.nq :]), d.qvel, atol=1e-7)

@@ -131,7 +131,7 @@ def test_line_search_first_accept_matches_serial(pend):
     A, B = ilqr.linearize(pend, cfg, xbar, ubar)
     K, kff = ilqr.backward_pass(A, B, quad, jnp.asarray(1e-6), 1e-4)
     base = trajectory_cost(pend, cp, win, xbar, ubar, mode="reference")
-    ok, xs, us, cost = ilqr.line_search(pend, cp, cfg, win, x0, xbar, ubar, K, kff, base)
+    ok, xs, us, cost, _ = ilqr.line_search(pend, cp, cfg, win, x0, xbar, ubar, K, kff, base)
     assert bool(ok)
 
     # Serial reference loop
@@ -170,3 +170,73 @@ def test_reference_window_clamps():
     )
     win = extract_window(refs, jnp.asarray(7), 5)
     np.testing.assert_array_equal(np.asarray(win.x[:, 0]), [7, 8, 9, 9, 9, 9])
+
+
+def test_all_line_search_failures_report_failure(pend):
+    """A solve where every line search fails must report success=False so the
+    MPC previous-control fallback engages (the reference propagates solve
+    failure, mpc.cpp:82-91). Negative-definite costs make the Riccati
+    Cholesky fail -> NaN gains -> every rollout cost inf-masked; the carried
+    cost stays the finite baseline, so isfinite(cost) alone would wrongly
+    report success (the round-1 bug)."""
+    cp, win, cfg = make_lq_problem(pend)
+    cp_bad = cp.replace(Q=-cp.Q, R=-cp.R, Qf=-cp.Qf)
+    x0 = jnp.array([0.8, 0.0], dtype=jnp.float64)
+    ubar = jnp.zeros((cfg.N, 1), jnp.float64)
+    sol = jax.jit(lambda: ilqr.solve(pend, cp_bad, cfg, x0, win, ubar))()
+    assert not bool(sol.success)
+    assert np.isfinite(float(sol.cost))  # finite baseline carried through
+
+
+def test_stationary_warm_start_reports_success(pend):
+    """Re-solving from an already-converged solution finds no improving alpha
+    (all deltas < accept_threshold) — that is a *successful* stationary solve,
+    not a failure."""
+    cp, win, cfg = make_lq_problem(pend)
+    x0 = jnp.array([0.8, 0.0], dtype=jnp.float64)
+    ubar = jnp.zeros((cfg.N, 1), jnp.float64)
+    sol1 = jax.jit(lambda u: ilqr.solve(pend, cp, cfg, x0, win, u))(ubar)
+    assert bool(sol1.success)
+    sol2 = jax.jit(lambda u: ilqr.solve(pend, cp, cfg, x0, win, u))(sol1.ubar)
+    assert bool(sol2.success)
+
+
+def test_failed_solve_preserves_mpc_carry(pend):
+    """step_once on a failing solve must (a) fall back to the previous
+    control, (b) leave prev_* and t_idx untouched (mpc.cpp:85-118) — one bad
+    solve must not poison the warm-start carry (ADVICE r1)."""
+    from mpc_ilqr_tpu.costs.references import ReferenceSet
+    from mpc_ilqr_tpu.mpc import controller
+
+    cp, win, cfg = make_lq_problem(pend, N=8)
+    cfg = ilqr.ILQRConfig(N=8, max_iterations=3)
+    T = 20
+    refs = ReferenceSet(
+        x=jnp.tile(jnp.array([0.3, 0.0]), (T, 1)),
+        u=jnp.zeros((T, 1)),
+        com=jnp.zeros((T, 3)),
+        com_vel=jnp.zeros((T, 3)),
+        ee_pos=jnp.zeros((T, 0, 3)),
+        ee_vel=jnp.zeros((T, 0, 3)),
+        stance=jnp.ones((T, 0)),
+    )
+    x0 = jnp.array([0.8, 0.0], dtype=jnp.float64)
+    state0 = controller.init_state(pend, cfg, dtype=jnp.float64)
+
+    # One good step to populate the carry.
+    state1, u1, d1 = jax.jit(
+        lambda s, x: controller.step_once(pend, cp, cfg, refs, s, x)
+    )(state0, x0)
+    assert bool(d1.solve_ok) and bool(state1.has_prev) and int(state1.t_idx) == 1
+
+    # Failing solve: negative-definite costs (see test above).
+    cp_bad = cp.replace(Q=-cp.Q, R=-cp.R, Qf=-cp.Qf)
+    state2, u2, d2 = jax.jit(
+        lambda s, x: controller.step_once(pend, cp_bad, cfg, refs, s, x)
+    )(state1, x0)
+    assert not bool(d2.solve_ok)
+    np.testing.assert_array_equal(np.asarray(u2), np.asarray(state1.prev_ubar[0]))
+    assert int(state2.t_idx) == int(state1.t_idx)
+    np.testing.assert_array_equal(np.asarray(state2.prev_ubar), np.asarray(state1.prev_ubar))
+    np.testing.assert_array_equal(np.asarray(state2.prev_xbar), np.asarray(state1.prev_xbar))
+    np.testing.assert_array_equal(np.asarray(state2.prev_K), np.asarray(state1.prev_K))

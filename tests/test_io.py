@@ -110,3 +110,14 @@ def test_npz_track_loading(tmp_path):
     p = tmp_path / "track.npz"
     np.savez(p, q=arr)
     np.testing.assert_array_equal(load_csv_matrix(str(p)), arr)
+
+
+def test_shipped_npz_twins_match_csv():
+    """data/ ships .npz twins of every reference CSV track (SURVEY C11);
+    they must load identically through load_csv_matrix."""
+    from mpc_ilqr_tpu.io.references import load_csv_matrix
+
+    for name in ("q_standing", "v_standing", "q_ref2_mj", "v_ref2", "q_ref", "v_ref"):
+        csv = load_csv_matrix(os.path.join(ROOT, f"data/{name}.csv"))
+        npz = load_csv_matrix(os.path.join(ROOT, f"data/{name}.npz"))
+        np.testing.assert_allclose(npz, csv, rtol=0, atol=0)

@@ -44,17 +44,54 @@ def test_sharded_line_search_matches_local():
     K, kff = ilqr.backward_pass(A, B, quad, jnp.asarray(1e-6, jnp.float32), 1e-4)
     base = trajectory_cost(model, cp, win, xbar, ubar, mode=cfg.cost_mode)
 
-    ok_l, xs_l, us_l, cost_l = jax.jit(
+    ok_l, xs_l, us_l, cost_l, best_l = jax.jit(
         lambda: ilqr.line_search(model, cp, cfg, win, x0, xbar, ubar, K, kff, base)
     )()
 
     ls = sharded_line_search(mesh, model, cp, cfg)
     with mesh:
-        ok_s, xs_s, us_s, cost_s = jax.jit(
+        ok_s, xs_s, us_s, cost_s, best_s = jax.jit(
             lambda: ls(win, x0, xbar, ubar, K, kff, base)
         )()
 
     assert bool(ok_l) == bool(ok_s)
+    np.testing.assert_allclose(float(best_l), float(best_s), rtol=1e-5)
     np.testing.assert_allclose(float(cost_l), float(cost_s), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(us_l), np.asarray(us_s), atol=1e-5)
     np.testing.assert_allclose(np.asarray(xs_l), np.asarray(xs_s), atol=1e-5)
+
+
+def test_sharded_solve_matches_local():
+    """Full solve() with the sharded line search composed in (VERDICT r1
+    item 6): same solution as the local solve, on the 8-device mesh."""
+    from mpc_ilqr_tpu.parallel.sharded_solve import solve_sharded
+
+    devs = jax.devices()
+    assert len(devs) >= 8
+    mesh = Mesh(np.array(devs[:8]), ("ls",))
+
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    model = load_h1(gravity=(0, 0, -1.0), timestep=0.02, dtype=jnp.float32)
+    cp = build_cost_params(model, app.mpc.cost_weights, app.mpc.constraints,
+                           dtype=jnp.float32)
+    cfg = ilqr.ILQRConfig(N=4, max_iterations=2)
+    refs = load_reference_set(
+        model,
+        os.path.join(ROOT, "data/q_standing.csv"),
+        os.path.join(ROOT, "data/v_standing.csv"),
+        dtype=jnp.float32,
+    )
+    win = extract_window(refs, jnp.zeros((), jnp.int32), cfg.N)
+    x0 = standing_state(model)
+    ubar = jnp.tile(engine.gravity_comp(model, x0)[None], (cfg.N, 1))
+
+    sol_local = jax.jit(lambda: ilqr.solve(model, cp, cfg, x0, win, ubar))()
+    with mesh:
+        sol_shard = jax.jit(
+            lambda: solve_sharded(mesh, model, cp, cfg, x0, win, ubar)
+        )()
+
+    assert bool(sol_local.success) and bool(sol_shard.success)
+    np.testing.assert_allclose(float(sol_shard.cost), float(sol_local.cost), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sol_shard.ubar), np.asarray(sol_local.ubar), atol=1e-4)
+    assert int(sol_shard.iterations) == int(sol_local.iterations)
