@@ -321,14 +321,22 @@ def step_mosaic(model: RobotModel, plan: StepPlan, x: jnp.ndarray, u: jnp.ndarra
             bias = bias + jnp.matmul(colsw[b], n_body[b][:, None], precision=HP)
 
         # Mass matrix: per-body 2-D matmuls (static slices of the columns).
-        # The inertia rotation I_w @ Jw is vectorized over ALL bodies first
-        # ((B,1,4) quats against (B,nv,3) columns — 3-D crosses lower fine);
-        # per-body SCALAR quat algebra inside the loop does not (Mosaic
-        # bisect, round 2). Masses fold into colsv to avoid scalar reads.
+        # The inertia rotation I_w @ Jw is vectorized over ALL bodies first;
+        # per-body SCALAR quat algebra inside the loop does not lower, and
+        # neither do (B,)->(B,1,1) leading broadcasts or implicit (B,1,4)
+        # quat slices (Mosaic bisect, round 2) — hence the explicit
+        # broadcast_to and the matmul-built (B,nv) mass table below.
+        nv = model.nv
+        Qin_bn = jnp.broadcast_to(Qin[:, None, :], (B, nv, 4))
+        Idiag_bn = jnp.broadcast_to(Idiag[:, None, :], (B, nv, 3))
         IwJw_all = qm.quat_rotate(
-            Qin[:, None, :], Idiag[:, None, :] * qm.quat_rotate_inv(Qin[:, None, :], colsw)
+            Qin_bn, Idiag_bn * qm.quat_rotate_inv(Qin_bn, colsw)
         )  # (B, nv, 3)
-        colsv_m = colsv * model.body_mass[:, None, None].astype(dt)
+        ones_row = (jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1) >= 0).astype(dt)
+        mass_bn = jnp.matmul(
+            model.body_mass.astype(dt)[:, None], ones_row, precision=HP
+        )  # (B, nv)
+        colsv_m = colsv * mass_bn[:, :, None]
         M = _eye(model.nv, dt) * model.dof_armature.astype(dt)[None, :]
         for b in range(B):
             M = M + jnp.matmul(colsv_m[b], colsv[b].T, precision=HP)
