@@ -49,7 +49,7 @@ def main():
     N_STEPS = 15  # the reference's profiled standing run length
 
     run = jax.jit(
-        functools.partial(controller.run_closed_loop, model, cp, cfg),
+        functools.partial(controller.run_closed_loop, model, cp, cfg, plan=prob.plan),
         static_argnames=("n_steps",),
     )
 

@@ -66,7 +66,7 @@ def reset(state: MPCState, cfg: ilqr.ILQRConfig) -> MPCState:
     )
 
 
-def _warm_start(model, cfg, x0, state: MPCState):
+def _warm_start(model, cfg, x0, state: MPCState, plan=None):
     """Shift-by-one warm start (ilqr.cpp:68-81) vs. gravity-comp cold start
     (ilqr.cpp:92-115), selected at runtime with lax.cond."""
 
@@ -81,7 +81,7 @@ def _warm_start(model, cfg, x0, state: MPCState):
     def cold(_):
         u_grav = engine.gravity_comp(model, x0)
         ubar = jnp.tile(u_grav[None], (cfg.N, 1))
-        xbar = ilqr.rollout(model, cfg, x0, ubar)
+        xbar = ilqr.rollout(model, cfg, x0, ubar, plan=plan)
         return ubar, xbar
 
     return jax.lax.cond(state.has_prev, warm, cold, None)
@@ -95,17 +95,20 @@ def step_once(
     state: MPCState,
     x_measured: jnp.ndarray,
     ls_fn=None,
+    plan=None,
 ):
     """MPC::stepOnce (mpc.cpp:40-127) as one pure jitted function.
 
-    ls_fn optionally swaps in a mesh-sharded line search (see ilqr.solve).
-    Returns (new_state, u_apply, diagnostics).
+    ls_fn optionally swaps in a mesh-sharded line search; plan enables the
+    Pallas whole-rollout kernels (see ilqr.solve). Returns (new_state,
+    u_apply, diagnostics).
     """
     win = extract_window(refs, state.t_idx, cfg.N)  # MPC_extractReference
-    ubar0, xbar0 = _warm_start(model, cfg, x_measured, state)  # MPC_warmStart
+    ubar0, xbar0 = _warm_start(model, cfg, x_measured, state, plan=plan)
 
     sol = ilqr.solve(
-        model, cp, cfg, x_measured, win, ubar0, xbar0, reg0=state.reg, ls_fn=ls_fn
+        model, cp, cfg, x_measured, win, ubar0, xbar0, reg0=state.reg,
+        ls_fn=ls_fn, plan=plan,
     )
 
     # TV-LQR control law u = ū₀ + K₀ (x − x̄₀)  (mpc.cpp:97-101)
@@ -145,6 +148,7 @@ def run_closed_loop(
     n_steps: int,
     plant_model: RobotModel = None,
     plant_substeps: int = 1,
+    plan=None,
 ):
     """Fully-fused closed-loop MPC: controller + plant in ONE lax.scan.
 
@@ -161,7 +165,7 @@ def run_closed_loop(
 
     def body(carry, _):
         state, x = carry
-        state, u, diag = step_once(model, cp, cfg, refs, state, x)
+        state, u, diag = step_once(model, cp, cfg, refs, state, x, plan=plan)
         x_next = engine.step(plant, x, u, plant_substeps)
         return (state, x_next), (x, u, diag.cost, diag.iterations, diag.solve_ok)
 

@@ -69,7 +69,7 @@ def run_mujoco_in_the_loop(prob, n_steps: int, x0=None, verbose: bool = False):
     from mpc_ilqr_tpu.models.robot import standing_state
     from mpc_ilqr_tpu.mpc import controller
 
-    model, cp, cfg, refs, app = prob
+    model, cp, cfg, refs, app = prob.model, prob.cp, prob.cfg, prob.refs, prob.app
     plant = MuJoCoPlant(
         app.resolve(app.model_path),
         gravity=app.mpc.gravity,

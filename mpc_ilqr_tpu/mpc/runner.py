@@ -35,6 +35,7 @@ class Problem(NamedTuple):
     cfg: ILQRConfig
     refs: ReferenceSet
     app: AppConfig
+    plan: object = None  # StepPlan when engine.rollout_backend == "pallas"
 
 
 def setup(app: AppConfig) -> Problem:
@@ -69,6 +70,8 @@ def setup(app: AppConfig) -> Problem:
         backward=app.engine.get("backward", "scan"),
         linearization=app.engine.get("linearization", "ad"),
         scan_unroll=int(app.engine.get("scan_unroll", 1)),
+        rollout_backend=app.engine.get("rollout_backend", "xla"),
+        ls_backend=app.engine.get("ls_backend", "xla"),
     )
     refs = ioref.load_reference_set(
         model,
@@ -77,7 +80,17 @@ def setup(app: AppConfig) -> Problem:
         app.resolve(app.contact_schedule_path),
         dtype=dtype,
     )
-    return Problem(model=model, cp=cp, cfg=cfg, refs=refs, app=app)
+    plan = None
+    # The kernels are Mosaic (TPU) programs; on CPU/GPU backends plan stays
+    # None and the solver falls back to the XLA scan chains transparently.
+    if (
+        cfg.rollout_backend == "pallas" or cfg.ls_backend == "pallas"
+    ) and jax.default_backend() in ("tpu", "axon"):
+        assert dtype == jnp.float32, "pallas rollout kernels are float32-only"
+        from mpc_ilqr_tpu.ops.quat_step import build_step_plan
+
+        plan = build_step_plan(model)
+    return Problem(model=model, cp=cp, cfg=cfg, refs=refs, app=app, plan=plan)
 
 
 def run_simulation(
@@ -91,7 +104,7 @@ def run_simulation(
     sim_model: Optional[RobotModel] = None,
 ):
     """Run the closed-loop MPC sim; returns (history dict, final MPCState)."""
-    model, cp, cfg, refs, app = prob
+    model, cp, cfg, refs, app = prob.model, prob.cp, prob.cfg, prob.refs, prob.app
     sim_model = sim_model if sim_model is not None else model
     sim_steps = sim_steps if sim_steps is not None else app.mpc.sim_steps
     verbose = app.verbose if verbose is None else verbose
@@ -100,8 +113,13 @@ def run_simulation(
     x = standing_state(model) if x0 is None else x0
     state = controller.init_state(model, cfg)
 
+    # plan is closed over (static python object with numpy one-hots), not a
+    # traced operand — its arrays become compile-time constants feeding the
+    # pallas_call.
     step_once = jax.jit(
-        functools.partial(controller.step_once, model, cp, cfg)
+        lambda refs_, state_, x_: controller.step_once(
+            model, cp, cfg, refs_, state_, x_, plan=prob.plan
+        )
     )
     physics_substeps = max(1, round(app.mpc.dt / app.mpc.physics_dt))
     plant_step = jax.jit(lambda xx, uu: engine.step(sim_model, xx, uu, physics_substeps))

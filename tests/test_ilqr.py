@@ -240,3 +240,20 @@ def test_failed_solve_preserves_mpc_carry(pend):
     np.testing.assert_array_equal(np.asarray(state2.prev_ubar), np.asarray(state1.prev_ubar))
     np.testing.assert_array_equal(np.asarray(state2.prev_xbar), np.asarray(state1.prev_xbar))
     np.testing.assert_array_equal(np.asarray(state2.prev_K), np.asarray(state1.prev_K))
+
+
+def test_cascade_line_search_matches_first_accept(pend):
+    """line_search="cascade" (alpha=1 fast path + batched fallback) must be
+    solution-identical to "first_accept" — same alpha ordering, two phases."""
+    import dataclasses
+
+    cp, win, cfg = make_lq_problem(pend)
+    x0 = jnp.array([0.9, -0.2], dtype=jnp.float64)
+    ubar = jnp.zeros((cfg.N, 1), jnp.float64)
+    sol_fa = jax.jit(lambda: ilqr.solve(pend, cp, cfg, x0, win, ubar))()
+    cfg_c = dataclasses.replace(cfg, line_search="cascade")
+    sol_ca = jax.jit(lambda: ilqr.solve(pend, cp, cfg_c, x0, win, ubar))()
+    np.testing.assert_allclose(float(sol_ca.cost), float(sol_fa.cost), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol_ca.ubar), np.asarray(sol_fa.ubar), atol=1e-12)
+    assert int(sol_ca.iterations) == int(sol_fa.iterations)
+    assert bool(sol_ca.success) == bool(sol_fa.success)

@@ -60,7 +60,7 @@ def _timed_loop(prob, n_steps, reps=3):
 
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
     run = jax.jit(
-        functools.partial(controller.run_closed_loop, model, cp, cfg),
+        functools.partial(controller.run_closed_loop, model, cp, cfg, plan=prob.plan),
         static_argnames=("n_steps",),
     )
     x = standing_state(model)
