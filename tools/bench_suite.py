@@ -158,7 +158,9 @@ def bench_fleet(args):
     from mpc_ilqr_tpu.parallel import fleet as fleet_mod
 
     n = args.fleet
-    prob = _setup(standing=True, max_iterations=2)
+    # first_accept, NOT cascade: under vmap lax.cond lowers to select so a
+    # cascade would execute BOTH phases for every instance.
+    prob = _setup(standing=True, max_iterations=2, line_search="first_accept")
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
     models = fleet_mod.randomized_models(model, jax.random.PRNGKey(0), n)
     states = fleet_mod.fleet_init(models, cfg, n)
