@@ -39,6 +39,17 @@ from mpc_ilqr_tpu.models.robot import JNT_FREE, JNT_HINGE, RobotModel
 
 HIGHEST = jax.lax.Precision.HIGHEST
 _ei = lambda spec, *ops: jnp.einsum(spec, *ops, precision=HIGHEST)
+_mm = lambda a, b: jnp.matmul(a, b, precision=HIGHEST)
+
+
+def _flat(J: jnp.ndarray) -> jnp.ndarray:
+    """(..., B, 3, n) -> (..., B*3, n): Jacobian-stack flattening.
+
+    The b-batched triple-product einsums ("b,bik,bil->kl" etc.) lower to
+    per-body tiny contractions whose intermediates pad 5-6x on TPU tiles
+    (measured in fleet-scale memory dumps); flattening turns each into ONE
+    (n, B*3)@(B*3, n) matmul — MXU-shaped, and its jvp stays two matmuls."""
+    return J.reshape(J.shape[:-3] + (-1, J.shape[-1]))
 
 
 def normalize_state(model: RobotModel, x: jnp.ndarray) -> jnp.ndarray:
@@ -142,18 +153,21 @@ def _dynamics_terms(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray):
     fr = forward_kinematics(model, q)
     pc = body_com_positions(model, fr)
     Jv, Jw = body_jacobians(model, fr, pc)
-    omega = _ei("bij,j->bi", Jw, v)
+    Jw_f = _flat(Jw)  # (B*3, nv)
+    Jv_f = _flat(Jv)
+    omega = _mm(Jw_f, v).reshape(-1, 3)
 
     alpha, acc_c = _body_accelerations(model, fr, v, omega, pc)
 
     Iw = _world_inertias(model, fr)
-    M = _ei("b,bik,bil->kl", model.body_mass, Jv, Jv)
-    M = M + _ei("bik,bij,bjl->kl", Jw, Iw, Jw)
+    IwJw_f = _flat(_ei("bij,bjl->bil", Iw, Jw))
+    mass3 = jnp.repeat(model.body_mass, 3)[:, None]
+    M = _mm(Jv_f.T, Jv_f * mass3) + _mm(Jw_f.T, IwJw_f)
     M = M + jnp.diag(model.dof_armature)
 
     f = model.body_mass[:, None] * (acc_c - model.gravity[None, :])  # (B,3)
     n = _ei("bij,bj->bi", Iw, alpha) + jnp.cross(omega, _ei("bij,bj->bi", Iw, omega))
-    bias = _ei("bik,bi->k", Jv, f) + _ei("bik,bi->k", Jw, n)
+    bias = _mm(Jv_f.T, f.reshape(-1)) + _mm(Jw_f.T, n.reshape(-1))
     return fr, M, bias
 
 
@@ -162,8 +176,9 @@ def mass_matrix(model: RobotModel, fr: KinFrames) -> jnp.ndarray:
     pc = body_com_positions(model, fr)
     Jv, Jw = body_jacobians(model, fr, pc)
     Iw = _world_inertias(model, fr)
-    M = _ei("b,bik,bil->kl", model.body_mass, Jv, Jv)
-    M = M + _ei("bik,bij,bjl->kl", Jw, Iw, Jw)
+    Jv_f, Jw_f = _flat(Jv), _flat(Jw)
+    mass3 = jnp.repeat(model.body_mass, 3)[:, None]
+    M = _mm(Jv_f.T, Jv_f * mass3) + _mm(Jw_f.T, _flat(_ei("bij,bjl->bil", Iw, Jw)))
     return M + jnp.diag(model.dof_armature)
 
 
@@ -199,7 +214,7 @@ def contact_terms(model: RobotModel, fr: KinFrames, v: jnp.ndarray, h):
 
     Jp = point_jacobians(model, fr, bidx, pw)  # (ncp, 3, nv)
 
-    vel = _ei("cij,j->ci", Jp, v)  # current contact-point velocity
+    vel = _mm(_flat(Jp), v).reshape(-1, 3)  # current contact-point velocity
     depth = -pw[:, 2]
     active = jnp.where(depth > 0.0, 1.0, 0.0).astype(v.dtype)
     fn_el = model.contact_stiffness * depth * active
@@ -259,7 +274,7 @@ def integrate_position(model: RobotModel, q: jnp.ndarray, v_next: jnp.ndarray, h
 
 
 def step(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray, n_substeps: int = 1,
-         solver: str = "chol") -> jnp.ndarray:
+         solver: str = "chol", frozen_mass: bool = False) -> jnp.ndarray:
     """One control step of the dynamics: x_{t+1} = f(x_t, u_t).
 
     Equivalent of RobotUtils::rolloutOneStep (robot_utils.cpp:106-117).
@@ -278,12 +293,21 @@ def step(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray, n_substeps: int = 1,
     def substep(x, _):
         q, v = model.split_state(normalize_state(model, x))
         fr, M, bias = _dynamics_terms(model, q, v)
+        if frozen_mass:
+            # Linearization-only approximation (standard in DDP practice):
+            # treat M(q) as locally constant — zero tangents through the
+            # inertia assembly. The jvp of the B-batched inertia products is
+            # the single largest linearize cost (a GB-scale tangent tensor
+            # at fleet scale, TPU trace); gravity/Coriolis/contact gradients
+            # (bias, f_el, Jp) stay exact. No-op outside jacfwd/jvp.
+            M = jax.lax.stop_gradient(M)
         tau = applied_torques(model, u)
         Jp, f_el, c_diag, _ = contact_terms(model, fr, v, h)
         lhs = M + h * jnp.diag(model.dof_damping)
         if model.ncp:
-            lhs = lhs + h * _ei("cik,ci,cil->kl", Jp, c_diag, Jp)
-            tau = tau + _ei("cik,ci->k", Jp, f_el)
+            Jp_f = _flat(Jp)  # (ncp*3, nv): one MXU matmul per fold (_flat doc)
+            lhs = lhs + h * _mm(Jp_f.T, Jp_f * c_diag.reshape(-1)[:, None])
+            tau = tau + _mm(Jp_f.T, f_el.reshape(-1))
         rhs = jnp.matmul(M, v, precision=HIGHEST) + h * (tau - bias)
         if solver == "masked":
             from mpc_ilqr_tpu.ops.linalg import spd_solve

@@ -58,7 +58,18 @@ class ILQRConfig:
     n_substeps: int = 1  # physics substeps per horizon step (dt/physics_dt)
     line_search: str = "first_accept"  # or "argmin" (best alpha, TPU-free lunch)
     backward: str = "scan"  # "scan" (lax.scan) | "pallas" (ops/riccati.py kernel)
-    linearization: str = "ad"  # "ad" (jacfwd) | "fd" (batched forward differences)
+    # "ad" (jacfwd, exact tangents) | "fd" (batched forward differences,
+    # robot_utils.cpp:120-160 recipe) | "ad_frozen_mass" (jacfwd with zero
+    # tangents through the inertia assembly M(q) — the standard DDP
+    # approximation; removes the GB-scale jvp tensor that dominates
+    # fleet-scale linearize, see engine.step frozen_mass)
+    linearization: str = "ad"
+    # Outer-iteration control flow. "while" exits early on convergence (best
+    # for a single latency-bound solve). "scan" runs exactly max_iterations
+    # with masked carries — under vmap (fleet) a while_loop runs to the
+    # batch max anyway, and the fixed-trip scan drops the predicate/copy
+    # overhead of the batched while.
+    outer_loop: str = "while"
     fd_eps: float = 1e-5  # FD perturbation (robot_utils.cpp:122 default)
     scan_unroll: int = 1  # unroll factor for the serial rollout scans
     rollout_solver: str = "chol"  # SPD solver for non-differentiated rollouts ("masked" opt-in)
@@ -120,9 +131,10 @@ def linearize(model: RobotModel, cfg: ILQRConfig, xs: jnp.ndarray, us: jnp.ndarr
     (SURVEY §7 hard part 2).
     """
     nx = model.nx
+    frozen = cfg.linearization == "ad_frozen_mass"
 
     def f(xu):
-        return engine.step(model, xu[:nx], xu[nx:], cfg.n_substeps)
+        return engine.step(model, xu[:nx], xu[nx:], cfg.n_substeps, frozen_mass=frozen)
 
     if cfg.linearization == "fd":
         eps = jnp.asarray(cfg.fd_eps, xs.dtype)
@@ -491,7 +503,17 @@ def solve(
             diverged=c.diverged | diverged,
         )
 
-    c = jax.lax.while_loop(cond, body, init)
+    if cfg.outer_loop == "scan":
+
+        def body_scan(c: Carry, _):
+            c2 = body(c)
+            # Converged/diverged lanes freeze their carry (masked update).
+            c2 = jax.tree.map(lambda n, o: jnp.where(c.done, o, n), c2, c)
+            return c2, None
+
+        c, _ = jax.lax.scan(body_scan, init, None, length=cfg.max_iterations)
+    else:
+        c = jax.lax.while_loop(cond, body, init)
     return ILQRSolution(
         xbar=c.xbar,
         ubar=c.ubar,

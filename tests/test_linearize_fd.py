@@ -25,3 +25,85 @@ def test_ad_and_fd_linearization_agree():
     # Stiff implicit contact makes some ∂v'/∂q entries O(h·k/m) ≈ 10-20;
     # just require boundedness.
     assert float(jnp.abs(A_ad).max()) < 100.0
+
+
+def test_frozen_mass_linearization_close_to_exact():
+    """linearization="ad_frozen_mass" (zero tangents through M(q) — the DDP
+    approximation that removes the dominant fleet-scale jvp tensor) must stay
+    CLOSE to the exact AD Jacobians at the standing state: the dropped
+    dM/dq terms are O(h * dM * v) and vanish at v=0, so at standing the
+    difference comes only through the solve's lhs sensitivity."""
+    model = load_h1(gravity=(0, 0, -1.0), timestep=0.02, dtype=jnp.float64)
+    cfg_ad = ilqr.ILQRConfig(N=3, linearization="ad")
+    cfg_fz = dataclasses.replace(cfg_ad, linearization="ad_frozen_mass")
+    x0 = standing_state(model)
+    us = jnp.tile(engine.gravity_comp(model, x0)[None], (3, 1))
+    xs = ilqr.rollout(model, cfg_ad, x0, us)
+    A_ad, B_ad = ilqr.linearize(model, cfg_ad, xs, us)
+    A_fz, B_fz = ilqr.linearize(model, cfg_fz, xs, us)
+    # B (control Jacobian) is M-frozen-exact: tau enters the rhs only.
+    np.testing.assert_allclose(np.asarray(B_fz), np.asarray(B_ad), atol=1e-9)
+    # A differs only in the dM/dq coupling; small at near-zero velocity.
+    assert float(jnp.abs(A_fz - A_ad).max()) < 0.05
+    # And an actual solve still converges to the same cost (the H1 standing
+    # problem, short horizon).
+    from mpc_ilqr_tpu.costs.params import build_cost_params
+    from mpc_ilqr_tpu.costs.references import extract_window
+    from mpc_ilqr_tpu.io.config import load_config
+    from mpc_ilqr_tpu.io.references import load_reference_set
+    import os
+
+    ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    cp = build_cost_params(model, app.mpc.cost_weights, app.mpc.constraints,
+                           dtype=jnp.float64)
+    refs = load_reference_set(
+        model,
+        os.path.join(ROOT, "data/q_standing.csv"),
+        os.path.join(ROOT, "data/v_standing.csv"),
+        os.path.join(ROOT, "data/contact_standing.csv"),
+        dtype=jnp.float64,
+    )
+    cfgs = ilqr.ILQRConfig(N=6, max_iterations=3)
+    win = extract_window(refs, jnp.zeros((), jnp.int32), cfgs.N)
+    ubar = jnp.tile(engine.gravity_comp(model, x0)[None], (cfgs.N, 1))
+    sol_ad = ilqr.solve(model, cp, cfgs, x0, win, ubar)
+    sol_fz = ilqr.solve(
+        model, cp, dataclasses.replace(cfgs, linearization="ad_frozen_mass"),
+        x0, win, ubar,
+    )
+    assert bool(sol_fz.success)
+    np.testing.assert_allclose(float(sol_fz.cost), float(sol_ad.cost), rtol=0.02)
+
+
+def test_scan_outer_loop_matches_while():
+    """outer_loop="scan" (fixed-trip masked iterations, the fleet mode) must
+    produce the same solution as the early-exit while loop."""
+    from mpc_ilqr_tpu.costs.params import build_cost_params
+    from mpc_ilqr_tpu.costs.references import extract_window
+    from mpc_ilqr_tpu.io.config import load_config
+    from mpc_ilqr_tpu.io.references import load_reference_set
+    import os
+
+    ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    model = load_h1(gravity=(0, 0, -1.0), timestep=0.02, dtype=jnp.float64)
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    cp = build_cost_params(model, app.mpc.cost_weights, app.mpc.constraints,
+                           dtype=jnp.float64)
+    refs = load_reference_set(
+        model,
+        os.path.join(ROOT, "data/q_standing.csv"),
+        os.path.join(ROOT, "data/v_standing.csv"),
+        os.path.join(ROOT, "data/contact_standing.csv"),
+        dtype=jnp.float64,
+    )
+    x0 = standing_state(model)
+    cfg_w = ilqr.ILQRConfig(N=6, max_iterations=3)
+    cfg_s = dataclasses.replace(cfg_w, outer_loop="scan")
+    win = extract_window(refs, jnp.zeros((), jnp.int32), cfg_w.N)
+    ubar = jnp.tile(engine.gravity_comp(model, x0)[None], (cfg_w.N, 1))
+    sol_w = ilqr.solve(model, cp, cfg_w, x0, win, ubar)
+    sol_s = ilqr.solve(model, cp, cfg_s, x0, win, ubar)
+    np.testing.assert_allclose(float(sol_s.cost), float(sol_w.cost), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sol_s.ubar), np.asarray(sol_w.ubar), atol=1e-10)
+    assert int(sol_s.iterations) == int(sol_w.iterations)

@@ -158,9 +158,17 @@ def bench_fleet(args):
     from mpc_ilqr_tpu.parallel import fleet as fleet_mod
 
     n = args.fleet
-    # first_accept, NOT cascade: under vmap lax.cond lowers to select so a
-    # cascade would execute BOTH phases for every instance.
-    prob = _setup(standing=True, max_iterations=2, line_search="first_accept")
+    # Fleet-tuned solver config (A/B'd on TPU): first_accept NOT cascade
+    # (lax.cond lowers to select under vmap, so a cascade would execute both
+    # phases per instance), 4 alphas, the batch-friendly masked SPD solver,
+    # lockstep 2 iterations.
+    prob = _setup(
+        standing=True,
+        max_iterations=2,
+        line_search="first_accept",
+        alphas=(1.0, 0.6, 0.2, 0.05),
+        rollout_solver="masked",
+    )
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
     models = fleet_mod.randomized_models(model, jax.random.PRNGKey(0), n)
     states = fleet_mod.fleet_init(models, cfg, n)
