@@ -106,7 +106,9 @@ def bench_linesearch(args):
 
     alphas16 = tuple(float(a) for a in (1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3,
                                         0.2, 0.15, 0.1, 0.07, 0.05, 0.03, 0.02, 0.01))
-    prob = _setup(standing=True, alphas=alphas16, max_iterations=3)
+    # first_accept: cascade degenerates under the vmap over seeds (cond->select)
+    prob = _setup(standing=True, alphas=alphas16, max_iterations=3,
+                  line_search="first_accept")
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
     x0 = standing_state(model)
     win = extract_window(refs, jnp.zeros((), jnp.int32), cfg.N)
