@@ -9,44 +9,73 @@ Baseline: the reference's profiled average MPC step time on one CPU core
 (README.md:203, BASELINE.md) — 2472.80 ms for the same problem size
 (nx=51, nu=19, N=25, dt=0.02). vs_baseline > 1 means faster than reference.
 
-Runs on whatever jax.devices()[0] is (the real TPU chip under the driver).
+Cold-start contract (VERDICT r2 item 1): a number must land from a cold
+process inside the driver's window even if the compile cache misses. The
+flagship config (pallas rollout kernels + cascade line search) is attempted
+in a SUBPROCESS with a hard wall-clock budget; if its compile does not
+finish in time (a fresh Mosaic+fused-loop graph takes 10-25 min through the
+remote compile service), the parent falls back to the XLA-backend config,
+whose graph compiles in ~1 min (r1's driver-verified path, BENCH_r01.json).
+Both graphs are kept warm in .jax_cache by tools/warm_cache.py.
+
+Usage:
+    python bench.py                 # orchestrated: flagship w/ budget, fallback
+    python bench.py --inner NAME    # run one config inline (no subprocess)
+Env:
+    BENCH_FLAGSHIP_BUDGET_S  wall budget for the flagship attempt (default 420)
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
-
-jax.config.update(
-    "jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-)
-
+ROOT = os.path.dirname(os.path.abspath(__file__))
 REFERENCE_MS = 2472.80  # avg MPC step, 1 CPU core (reference README.md:203)
+N_STEPS = 15  # the reference's profiled standing run length
+
+# Engine-config overrides per bench config. "flagship" is the shipped
+# config.yaml default (no overrides). "fallback" pins the pure-XLA path —
+# same solver semantics (cascade == first_accept selection), no Mosaic
+# kernels, small graph, fast compile.
+CONFIGS = {
+    "flagship": {},
+    "fallback": {
+        "rollout_backend": "xla",
+        "ls_backend": "xla",
+        "line_search": "first_accept",
+    },
+}
 
 
-def main():
+def run_inner(name: str) -> None:
+    """Run one bench config inline and print the JSON result line."""
     import functools
 
-    import jax.numpy as jnp
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+
+    import dataclasses
+
     import numpy as np
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, ROOT)
     from mpc_ilqr_tpu.io.config import load_config
     from mpc_ilqr_tpu.models.robot import standing_state
     from mpc_ilqr_tpu.mpc import controller, runner
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    app = load_config(os.path.join(root, "config.yaml"))
+    app = load_config(os.path.join(ROOT, "config.yaml"))
     # Standing-balance benchmark config (reference README sample run).
     app.q_ref_path = "data/q_standing.csv"
     app.v_ref_path = "data/v_standing.csv"
     app.contact_schedule_path = "data/contact_standing.csv"
+    overrides = CONFIGS[name]
+    for k, v in overrides.items():
+        app.engine[k] = v
 
     prob = runner.setup(app)
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
-
-    N_STEPS = 15  # the reference's profiled standing run length
 
     run = jax.jit(
         functools.partial(controller.run_closed_loop, model, cp, cfg, plan=prob.plan),
@@ -77,7 +106,6 @@ def main():
 
     costs = np.asarray(hist["cost"])
     steady = [ms / N_STEPS for ms in rep_ms]
-    x = x_f
     value = float(np.mean(steady))
     result = {
         "metric": "ilqr_solve_ms_per_mpc_step",
@@ -87,12 +115,72 @@ def main():
     }
     # Context to stderr; the single JSON line to stdout.
     print(
-        f"# device={jax.devices()[0]} compile={compile_s:.1f}s "
+        f"# config={name} device={jax.devices()[0]} compile={compile_s:.1f}s "
         f"min={min(steady):.2f} max={max(steady):.2f} cost0={costs[0]:.2f} "
-        f"costN={costs[-1]:.2f} base_z={float(x[2]):.3f}",
+        f"costN={costs[-1]:.2f} base_z={float(x_f[2]):.3f}",
         file=sys.stderr,
     )
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+def _attempt(name: str, budget_s: float):
+    """Run one config in a subprocess with a wall-clock budget.
+
+    Returns the parsed result dict, or None on timeout/failure."""
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner", name],
+            capture_output=True,
+            text=True,
+            timeout=budget_s,
+            cwd=ROOT,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"# {name}: no result within {budget_s:.0f}s budget (compile-cache "
+            f"miss on the fused Mosaic graph) — falling back",
+            file=sys.stderr,
+        )
+        return None
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        print(f"# {name}: rc={proc.returncode}", file=sys.stderr)
+        return None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    print(f"# {name}: produced no JSON line ({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
+    return None
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--inner":
+        run_inner(sys.argv[2])
+        return
+
+    # Measured (r3): a fully-cold flagship run lands in ~10.5 min (cache-warm:
+    # ~2 min); the driver's window is ~30 min. 15 min leaves the fallback
+    # (~2-4 min compile) comfortable room either way.
+    budget = float(os.environ.get("BENCH_FLAGSHIP_BUDGET_S", "900"))
+    result = _attempt("flagship", budget)
+    if result is None:
+        # The fallback graph is small (no Mosaic kernels, first_accept):
+        # ~1 min to compile from scratch, seconds on a cache hit.
+        result = _attempt("fallback", max(budget, 600.0))
+    if result is None:
+        # Never exit silent: emit a sentinel so the driver records *something*.
+        result = {
+            "metric": "ilqr_solve_ms_per_mpc_step",
+            "value": -1.0,
+            "unit": "ms",
+            "vs_baseline": 0.0,
+        }
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -17,3 +17,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the suite is compile-bound (f64 CPU builds of the
+# solver graphs dominate wall time); cached re-runs skip straight to numerics.
+# Separate directory from the TPU cache so the TPU entries stay identifiable.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -35,7 +35,14 @@ from mpc_ilqr_tpu.dynamics.kinematics import (
     body_jacobians,
     forward_kinematics,
 )
-from mpc_ilqr_tpu.models.robot import JNT_FREE, JNT_HINGE, RobotModel
+from mpc_ilqr_tpu.models.robot import (
+    JNT_BALL,
+    JNT_FIXED,
+    JNT_FREE,
+    JNT_HINGE,
+    JNT_SLIDE,
+    RobotModel,
+)
 
 HIGHEST = jax.lax.Precision.HIGHEST
 _ei = lambda spec, *ops: jnp.einsum(spec, *ops, precision=HIGHEST)
@@ -53,13 +60,17 @@ def _flat(J: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize_state(model: RobotModel, x: jnp.ndarray) -> jnp.ndarray:
-    """Normalize the free-joint quaternion inside x (mj_step does this
+    """Normalize the free/ball-joint quaternions inside x (mj_step does this
     implicitly; keeps additive quaternion perturbations well-defined)."""
     for i in range(model.nbody):
-        if model.body_jnt_type[i] == JNT_FREE:
-            a = model.body_qpos_adr[i]
+        jt = model.body_jnt_type[i]
+        a = model.body_qpos_adr[i]
+        if jt == JNT_FREE:
             quat = qm.quat_normalize(x[a + 3 : a + 7])
             x = x.at[a + 3 : a + 7].set(quat)
+        elif jt == JNT_BALL:
+            quat = qm.quat_normalize(x[a : a + 4])
+            x = x.at[a : a + 4].set(quat)
     return x
 
 
@@ -81,7 +92,12 @@ def _qdot(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
             w_local = v[d + 3 : d + 6]
             dq = 0.5 * qm.quat_mul(quat, jnp.concatenate([jnp.zeros(1, q.dtype), w_local]))
             qd = qd.at[a + 3 : a + 7].set(dq)
-        elif jt == JNT_HINGE:
+        elif jt == JNT_BALL:
+            quat = q[a : a + 4]
+            w_local = v[d : d + 3]
+            dq = 0.5 * qm.quat_mul(quat, jnp.concatenate([jnp.zeros(1, q.dtype), w_local]))
+            qd = qd.at[a : a + 4].set(dq)
+        elif jt in (JNT_HINGE, JNT_SLIDE):
             qd = qd.at[a].set(v[d])
     return qd
 
@@ -91,10 +107,13 @@ def _body_accelerations(model: RobotModel, fr: KinFrames, v: jnp.ndarray, omega,
     classic RNEA outward recursion, level-batched like FK (replaces a jvp
     through the kinematics: half the traced graph, same numbers).
 
-    World-frame recursion per hinge body i (parent p, world axis w, world
-    anchor o, joint rate q̇):
-        α_i  = α_p + (ω_p × w) q̇
-        a(x) = a_p(o) + α_i × (x − o) + ω_i × (ω_i × (x − o))
+    World-frame recursion per body i (parent p, world axis w, world anchor o,
+    joint rate q̇), by joint type:
+        hinge: α_i = α_p + (ω_p × w) q̇
+        ball:  α_i = α_p + ω_p × ω_rel          (ω_rel = ω_i − ω_p)
+        slide: α_i = α_p;  Coriolis 2 ω_p × (w q̇) added to the linear term
+        fixed: α_i = α_p
+        a(x)  = a_p(o) + α_i × (x − o) + ω_i × (ω_i × (x − o))  [+ Coriolis]
     Free base at constant qvel: α = 0, origin acceleration = 0 (the world
     angular velocity R ω_body has zero derivative when ω̇_body = 0).
     """
@@ -108,12 +127,13 @@ def _body_accelerations(model: RobotModel, fr: KinFrames, v: jnp.ndarray, omega,
     dadr = np.asarray(model.body_dof_adr)
     parent = np.asarray(model.body_parent)
 
-    for free, hinge, fixed in _tree_levels(model.body_parent, model.body_jnt_type):
-        for i in free:
+    for level in _tree_levels(model.body_parent, model.body_jnt_type):
+        for i in level.get(JNT_FREE, ()):
             # α = 0; a_c = ω × (ω × (r_c − origin))
             r = pc[i] - fr.p[i]
             a_c = a_c.at[i].set(jnp.cross(omega[i], jnp.cross(omega[i], r)))
-        for group in (tuple(hinge), tuple(fixed)):
+        for jt in (JNT_BALL, JNT_HINGE, JNT_SLIDE, JNT_FIXED):
+            group = level.get(jt, ())
             if not group:
                 continue
             gi = np.array(group)
@@ -122,26 +142,39 @@ def _body_accelerations(model: RobotModel, fr: KinFrames, v: jnp.ndarray, omega,
             # zero angular velocity/acceleration, CoM at the origin.
             nonroot = jnp.asarray((par >= 0).astype(np.float64), v.dtype)[:, None]
             par_safe = jnp.asarray(np.maximum(par, 0))
-            is_hinge = model.body_jnt_type[group[0]] == JNT_HINGE
             om_p = omega[par_safe] * nonroot
             al_p = alpha[par_safe] * nonroot
             pc_p = pc[par_safe] * nonroot
             ac_p = a_c[par_safe] * nonroot
-            if is_hinge:
+            om_i = omega[jnp.asarray(gi)]
+            coriolis = 0.0
+            if jt == JNT_HINGE:
                 d = jnp.asarray(dadr[gi])
                 qd_g = v[d][:, None]
                 w = fr.dof_axis[d]
                 o = fr.dof_anchor[d]
                 al_i = al_p + jnp.cross(om_p, w) * qd_g
+            elif jt == JNT_BALL:
+                d = jnp.asarray(dadr[gi])  # anchor shared by the 3 dofs
+                o = fr.dof_anchor[d]
+                al_i = al_p + jnp.cross(om_p, om_i - om_p)
+            elif jt == JNT_SLIDE:
+                # Angularly rigid to the parent; the prismatic rate adds a
+                # Coriolis term to every material point of the child.
+                d = jnp.asarray(dadr[gi])
+                o = pc_p
+                al_i = al_p
+                v_rel = fr.dof_axis[d] * v[d][:, None]
+                coriolis = 2.0 * jnp.cross(om_p, v_rel)
             else:  # fixed: inherits parent's motion; anchor = parent CoM
                 o = pc_p
                 al_i = al_p
-            om_i = omega[jnp.asarray(gi)]
             # anchor acceleration from the parent's rigid motion about its CoM
             r_o = o - pc_p
             a_o = ac_p + jnp.cross(al_p, r_o) + jnp.cross(om_p, jnp.cross(om_p, r_o))
             r_c = pc[jnp.asarray(gi)] - o
             a_ci = a_o + jnp.cross(al_i, r_c) + jnp.cross(om_i, jnp.cross(om_i, r_c))
+            a_ci = a_ci + coriolis
             alpha = alpha.at[gi].set(al_i)
             a_c = a_c.at[gi].set(a_ci)
     return alpha, a_c
@@ -215,7 +248,9 @@ def contact_terms(model: RobotModel, fr: KinFrames, v: jnp.ndarray, h):
     Jp = point_jacobians(model, fr, bidx, pw)  # (ncp, 3, nv)
 
     vel = _mm(_flat(Jp), v).reshape(-1, 3)  # current contact-point velocity
-    depth = -pw[:, 2]
+    # Penetration of the point's surface sphere (radius 0 for mesh vertices)
+    # into the z=0 ground plane.
+    depth = model.cp_radius - pw[:, 2]
     active = jnp.where(depth > 0.0, 1.0, 0.0).astype(v.dtype)
     fn_el = model.contact_stiffness * depth * active
     f_el = jnp.concatenate([jnp.zeros_like(vel[:, :2]), fn_el[:, None]], axis=-1)
@@ -255,6 +290,8 @@ def applied_torques(model: RobotModel, u: jnp.ndarray) -> jnp.ndarray:
     import numpy as np
 
     tau = jnp.zeros(model.nv, dtype=u.dtype)
+    if model.nu == 0:  # passive model (empty address list is float64 in np)
+        return tau
     return tau.at[np.asarray(model.act_dof_adr)].add(model.act_gear * u)
 
 
@@ -268,7 +305,10 @@ def integrate_position(model: RobotModel, q: jnp.ndarray, v_next: jnp.ndarray, h
             qn = qn.at[a : a + 3].add(h * v_next[d : d + 3])
             quat = qm.quat_integrate(q[a + 3 : a + 7], v_next[d + 3 : d + 6], h)
             qn = qn.at[a + 3 : a + 7].set(quat)
-        elif jt == JNT_HINGE:
+        elif jt == JNT_BALL:
+            quat = qm.quat_integrate(q[a : a + 4], v_next[d : d + 3], h)
+            qn = qn.at[a : a + 4].set(quat)
+        elif jt in (JNT_HINGE, JNT_SLIDE):
             qn = qn.at[a].add(h * v_next[d])
     return qn
 

@@ -28,7 +28,14 @@ import numpy as np
 HIGHEST = jax.lax.Precision.HIGHEST
 
 from mpc_ilqr_tpu.dynamics import math as qm
-from mpc_ilqr_tpu.models.robot import JNT_FIXED, JNT_FREE, JNT_HINGE, RobotModel
+from mpc_ilqr_tpu.models.robot import (
+    JNT_BALL,
+    JNT_FIXED,
+    JNT_FREE,
+    JNT_HINGE,
+    JNT_SLIDE,
+    RobotModel,
+)
 
 
 class KinFrames(NamedTuple):
@@ -43,7 +50,11 @@ class KinFrames(NamedTuple):
 
 @functools.lru_cache(maxsize=32)
 def _tree_levels(body_parent: tuple, body_jnt_type: tuple):
-    """Static schedule: bodies grouped by tree depth, split by joint type."""
+    """Static schedule: bodies grouped by tree depth, split by joint type.
+
+    Returns a list (one entry per depth level) of dicts
+    {joint_type: tuple(body indices)}; only types present at a level appear.
+    """
     B = len(body_parent)
     depth = [0] * B
     for i in range(B):
@@ -51,15 +62,21 @@ def _tree_levels(body_parent: tuple, body_jnt_type: tuple):
     levels = []
     for d in range(max(depth) + 1):
         idx = [i for i in range(B) if depth[i] == d]
-        free = tuple(i for i in idx if body_jnt_type[i] == JNT_FREE)
-        hinge = tuple(i for i in idx if body_jnt_type[i] == JNT_HINGE)
-        fixed = tuple(i for i in idx if body_jnt_type[i] == JNT_FIXED)
-        levels.append((free, hinge, fixed))
+        lv = {}
+        for jt in (JNT_FREE, JNT_BALL, JNT_HINGE, JNT_SLIDE, JNT_FIXED):
+            grp = tuple(i for i in idx if body_jnt_type[i] == jt)
+            if grp:
+                lv[jt] = grp
+        levels.append(lv)
     return levels
 
 
 def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> KinFrames:
-    """Level-batched FK: world poses of all bodies + per-dof axes/anchors."""
+    """Level-batched FK: world poses of all bodies + per-dof axes/anchors.
+
+    Handles free/ball/hinge/slide/fixed joints (one per body — multi-joint
+    MJCF bodies are split into chains at load time, models/robot.py).
+    """
     B, nv = model.nbody, model.nv
     dt = q.dtype
     R = jnp.zeros((B, 3, 3), dt)
@@ -72,8 +89,8 @@ def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> KinFrames:
     qadr = np.asarray(model.body_qpos_adr)
     dadr = np.asarray(model.body_dof_adr)
 
-    for free, hinge, fixed in _tree_levels(model.body_parent, model.body_jnt_type):
-        for i in free:  # free joints are rare (one root); keep scalar path
+    for level in _tree_levels(model.body_parent, model.body_jnt_type):
+        for i in level.get(JNT_FREE, ()):  # free roots are rare; scalar path
             a, d = qadr[i], dadr[i]
             quat = qm.quat_normalize(q[a + 3 : a + 7])
             Ri = qm.quat_to_mat(quat)
@@ -85,7 +102,8 @@ def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> KinFrames:
             W = W.at[d + 3 : d + 6].set(Ri.T)  # columns of R = body axes in world
             O = O.at[d + 3 : d + 6].set(jnp.broadcast_to(pi, (3, 3)))
 
-        for group, is_hinge in ((tuple(hinge), True), (tuple(fixed), False)):
+        for jt in (JNT_BALL, JNT_HINGE, JNT_SLIDE, JNT_FIXED):
+            group = level.get(jt, ())
             if not group:
                 continue
             gi = np.array(group)
@@ -101,23 +119,47 @@ def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> KinFrames:
             Rb = qm.quat_to_mat(model.body_quat[gi])
             Ri = jnp.matmul(Rp, Rb, precision=HIGHEST)
             pi = pp + jnp.einsum("gij,gj->gi", Rp, model.body_pos[gi], precision=HIGHEST)
-            if is_hinge:
-                ja = jnp.asarray(qadr[gi])
-                theta = q[ja]
-                ax = model.jnt_axis[gi]
+            if jt in (JNT_HINGE, JNT_BALL):
                 jp = model.jnt_pos[gi]
-                Rj = qm.quat_to_mat(qm.quat_axis_angle(ax, theta))
+                if jt == JNT_HINGE:
+                    ja = jnp.asarray(qadr[gi])
+                    ax = model.jnt_axis[gi]
+                    Rj = qm.quat_to_mat(qm.quat_axis_angle(ax, q[ja]))
+                else:  # ball: quaternion coordinate, rotation about jnt_pos
+                    ja = np.asarray(qadr[gi])
+                    quat_g = q[jnp.asarray(ja)[:, None] + np.arange(4)[None, :]]
+                    norm = jnp.sqrt(jnp.sum(quat_g * quat_g, axis=-1, keepdims=True))
+                    Rj = qm.quat_to_mat(quat_g / jnp.maximum(norm, 1e-12))
                 # X_child = X_prejoint * Trans(jp) * Rot * Trans(-jp)
                 pi = pi + jnp.einsum(
                     "gij,gj->gi", Ri, jp - jnp.einsum("gij,gj->gi", Rj, jp, precision=HIGHEST),
                     precision=HIGHEST,
                 )
                 Ri = jnp.matmul(Ri, Rj, precision=HIGHEST)
-                w = jnp.einsum("gij,gj->gi", Ri, ax, precision=HIGHEST)
                 anchor = pi + jnp.einsum("gij,gj->gi", Ri, jp, precision=HIGHEST)
                 da = np.asarray(dadr[gi])
+                if jt == JNT_HINGE:
+                    w = jnp.einsum("gij,gj->gi", Ri, model.jnt_axis[gi], precision=HIGHEST)
+                    W = W.at[da].set(w)
+                    O = O.at[da].set(anchor)
+                else:
+                    # Ball angular velocity is expressed in the CHILD frame
+                    # (like the free joint): dof axes = columns of R_child.
+                    da3 = da[:, None] + np.arange(3)[None, :]
+                    W = W.at[da3.reshape(-1)].set(
+                        jnp.swapaxes(Ri, -1, -2).reshape(-1, 3)
+                    )
+                    O = O.at[da3.reshape(-1)].set(
+                        jnp.repeat(anchor, 3, axis=0)
+                    )
+            elif jt == JNT_SLIDE:
+                ja = jnp.asarray(qadr[gi])
+                ax = model.jnt_axis[gi]
+                pi = pi + jnp.einsum("gij,gj->gi", Ri, ax, precision=HIGHEST) * q[ja][:, None]
+                da = np.asarray(dadr[gi])
+                w = jnp.einsum("gij,gj->gi", Ri, ax, precision=HIGHEST)
                 W = W.at[da].set(w)
-                O = O.at[da].set(anchor)
+                lin[da] = 1.0
             R = R.at[gi].set(Ri)
             p = p.at[gi].set(pi)
 

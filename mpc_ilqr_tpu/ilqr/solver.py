@@ -76,6 +76,9 @@ class ILQRConfig:
     # "pallas": whole-rollout TPU kernel (ops/rollout_kernel.py) for the
     # nominal/open-loop rollout — requires float32 and a StepPlan passed to
     # solve()/step_once(). "xla": lax.scan chains (default, any dtype).
+    # NOTE: the pallas kernel's velocity solve is its own in-kernel masked
+    # Cholesky; cfg.rollout_solver only selects the SPD solver for XLA scan
+    # chains and is ignored whenever the pallas path is taken.
     rollout_backend: str = "xla"
     # Line-search backend. The pallas grid runs one alpha per grid step and
     # grid steps SERIALIZE on a TPU core, so the 8-wide vmapped XLA scan is
@@ -83,6 +86,30 @@ class ILQRConfig:
     # fused) — "pallas" here only pays off for very long horizons where the
     # per-step launch overhead dominates the batch win.
     ls_backend: str = "xla"
+    # Backend for the cascade's phase-1 single-alpha rollout (a serial chain,
+    # where the VMEM-resident pallas kernel wins: 0.65 vs 2.9 ms measured).
+    # Set "xla" to keep phase-1 numerics identical to the multi-alpha
+    # fallback batch (the f32 kernel's rollout differs by ~7e-5, which can
+    # flip an accept decision sitting exactly on the threshold).
+    cascade_p1_backend: str = "pallas"
+
+
+def vmap_safe(cfg: ILQRConfig) -> ILQRConfig:
+    """A config safe to vmap (fleet/seed batching) without silent slowdowns.
+
+    Under vmap, lax.cond lowers to a select, so the cascade line search
+    executes BOTH phases for every instance — strictly worse than a plain
+    batched first_accept (identical selection semantics, one batch instead
+    of 1 + (n-1)). Likewise the early-exit outer while_loop runs to the
+    batch max anyway; the fixed-trip scan drops its predicate overhead.
+    fleet_step_once/fleet_step_chunked apply this automatically.
+    """
+    repl = {}
+    if cfg.line_search == "cascade":
+        repl["line_search"] = "first_accept"
+    if cfg.outer_loop == "while":
+        repl["outer_loop"] = "scan"
+    return dataclasses.replace(cfg, **repl) if repl else cfg
 
 
 class ILQRSolution(NamedTuple):
@@ -260,7 +287,7 @@ def line_search(
         )(xs_b, us_b)
         return xs_b, us_b, costs_b
 
-    if cfg.line_search == "cascade":
+    if cfg.line_search == "cascade" and len(cfg.alphas) > 1:
         # Two-phase first-accept: alpha=1 alone first (the warm-started MPC
         # accepts it almost every step — one cheap rollout instead of the
         # full batch), falling back to the remaining alphas only on reject.
@@ -269,8 +296,13 @@ def line_search(
         # 8-wide chain (measured, v5e).
         # Phase 1 is a single serial chain: the VMEM-resident pallas kernel
         # wins there; the multi-alpha fallback stays on the lane-parallel
-        # XLA batch (a pallas GRID would serialize the alphas).
-        p1_backend = "pallas" if plan is not None else "xla"
+        # XLA batch (a pallas GRID would serialize the alphas). The backend
+        # split is an explicit contract (cfg.cascade_p1_backend), not an
+        # ls_backend override.
+        p1_backend = (
+            "pallas" if plan is not None and cfg.cascade_p1_backend == "pallas"
+            else "xla"
+        )
         xs1, us1, cost1 = roll_batch(alphas[:1], backend=p1_backend)
         c1 = jnp.where(jnp.isfinite(cost1[0]), cost1[0], jnp.inf)
         ok1 = c1 < baseline_cost - cfg.accept_threshold
@@ -326,8 +358,10 @@ def line_search(
     costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
     improves = costs < baseline_cost - cfg.accept_threshold
     accepted = improves.any()
-    if cfg.line_search == "first_accept":
-        idx = jnp.argmax(improves)  # first True — alphas are ordered descending
+    if cfg.line_search != "argmin":
+        # first_accept (and a degenerate single-alpha cascade): first True —
+        # alphas are ordered descending
+        idx = jnp.argmax(improves)
     else:  # argmin: take the best improving alpha
         idx = jnp.argmin(costs)
     xs = jnp.take(xs_all, idx, axis=0)

@@ -38,6 +38,28 @@ def mat_to_quat(R: np.ndarray) -> np.ndarray:
     return np.array(q)
 
 
+def np_axis_angle_quat(axis: np.ndarray, angle: float) -> np.ndarray:
+    axis = np.asarray(axis, dtype=np.float64)
+    axis = axis / np.linalg.norm(axis)
+    return np.concatenate([[np.cos(angle / 2.0)], np.sin(angle / 2.0) * axis])
+
+
+def np_euler_to_quat(angles: np.ndarray, seq: str = "xyz") -> np.ndarray:
+    """MJCF euler attribute -> quaternion (wxyz), angles in RADIANS.
+
+    MuJoCo semantics (compiler eulerseq): rotations compose in sequence
+    order; lowercase letters rotate about the axes of the moving frame
+    (right-multiply), uppercase about the fixed parent frame
+    (left-multiply). Verified against mujoco in test_model_generality.
+    """
+    axes = {"x": [1.0, 0, 0], "y": [0, 1.0, 0], "z": [0, 0, 1.0]}
+    q = np.array([1.0, 0, 0, 0])
+    for ch, ang in zip(seq, np.asarray(angles, dtype=np.float64)):
+        r = np_axis_angle_quat(axes[ch.lower()], float(ang))
+        q = np_quat_mul(q, r) if ch.islower() else np_quat_mul(r, q)
+    return q / np.linalg.norm(q)
+
+
 def np_quat_to_mat(q: np.ndarray) -> np.ndarray:
     w, x, y, z = q
     return np.array(

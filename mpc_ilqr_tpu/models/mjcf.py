@@ -3,8 +3,11 @@
 Replaces the reference's dependence on ``mj_loadXML`` (robot_utils.cpp:19-55)
 and the parallel Pinocchio URDF model (derivatives.cpp:26-59) with a single
 parser feeding one JAX model. Only the subset of MJCF needed for rigid-body
-MPC is handled: kinematic tree, inertials, free/hinge joints, motors,
-meshes (for contact-point extraction), options, and keyframes.
+MPC is handled: kinematic tree, inertials, free/ball/hinge/slide joints
+(multiple joints per body supported — split into a chain downstream in
+models/robot.py), motors, meshes and primitive geoms (for contact-point
+extraction), degree/radian angle modes with euler frame attributes,
+options, and keyframes.
 
 No MuJoCo dependency — `xml.etree` + numpy only, so the framework stands
 alone. The test-suite cross-validates the parsed arrays against the mujoco
@@ -27,7 +30,7 @@ def _floats(s: str) -> np.ndarray:
 @dataclass
 class JointSpec:
     name: str
-    jtype: str  # "free" | "hinge" | "slide"
+    jtype: str  # "free" | "ball" | "hinge" | "slide"
     pos: np.ndarray
     axis: np.ndarray
     range: np.ndarray  # (2,), ±inf if unlimited
@@ -153,13 +156,26 @@ def parse_mjcf(path: str) -> MJCFSpec:
     root = _merge_includes(path)
     base = os.path.dirname(os.path.abspath(path))
 
-    # compiler
+    # compiler (MJCF defaults: angle="degree", eulerseq="xyz")
     meshdir = ""
+    degrees = True
+    eulerseq = "xyz"
     for comp in root.iter("compiler"):
         meshdir = comp.get("meshdir", meshdir)
-        if comp.get("angle", "degree") == "degree":
-            raise NotImplementedError("degree angles not supported; use radian")
+        degrees = comp.get("angle", "degree" if degrees else "radian") == "degree"
+        eulerseq = comp.get("eulerseq", eulerseq)
     mesh_base = os.path.normpath(os.path.join(base, meshdir)) if meshdir else base
+
+    def to_rad(a: np.ndarray) -> np.ndarray:
+        return np.deg2rad(a) if degrees else a
+
+    def frame_quat(attrs: Dict[str, str]) -> np.ndarray:
+        """Orientation of a body/geom frame from quat or euler attributes."""
+        if attrs.get("euler") is not None:
+            from mpc_ilqr_tpu.models._np_quat import np_euler_to_quat
+
+            return np_euler_to_quat(to_rad(_floats(attrs["euler"])), eulerseq)
+        return _floats(attrs.get("quat", "1 0 0 0"))
 
     defaults = _Defaults()
     for dnode in root.findall("default"):
@@ -188,12 +204,12 @@ def parse_mjcf(path: str) -> MJCFSpec:
         cls = node.get("childclass", childclass)
         battrs = node.attrib
         pos = _floats(battrs.get("pos", "0 0 0"))
-        quat = _floats(battrs.get("quat", "1 0 0 0"))
+        quat = frame_quat(battrs)
 
         inertial = node.find("inertial")
         if inertial is not None:
             ipos = _floats(inertial.get("pos", "0 0 0"))
-            iquat = _floats(inertial.get("quat", "1 0 0 0"))
+            iquat = frame_quat(inertial.attrib)
             mass = float(inertial.get("mass", "0"))
             if inertial.get("diaginertia") is not None:
                 inertia = _floats(inertial.get("diaginertia"))
@@ -253,13 +269,19 @@ def parse_mjcf(path: str) -> MJCFSpec:
             elif child.tag == "joint":
                 attrs = defaults.resolve("joint", child.attrib, child.get("class", cls))
                 rng = attrs.get("range")
+                jtype = attrs.get("type", "hinge")
+                jrange = _floats(rng) if rng else np.array([-np.inf, np.inf])
+                if rng and jtype == "hinge":
+                    # Angles honor compiler angle="degree"; slide ranges are
+                    # lengths, ball ranges a max rotation (limits unsupported).
+                    jrange = to_rad(jrange)
                 spec.joints.append(
                     JointSpec(
                         name=attrs.get("name", f"{spec.name}_j{len(spec.joints)}"),
-                        jtype=attrs.get("type", "hinge"),
+                        jtype=jtype,
                         pos=_floats(attrs.get("pos", "0 0 0")),
                         axis=_floats(attrs.get("axis", "0 0 1")),
-                        range=_floats(rng) if rng else np.array([-np.inf, np.inf]),
+                        range=jrange,
                         damping=float(attrs.get("damping", "0")),
                         armature=float(attrs.get("armature", "0")),
                     )
@@ -273,7 +295,7 @@ def parse_mjcf(path: str) -> MJCFSpec:
                         mesh=attrs.get("mesh"),
                         size=_floats(attrs.get("size", "0")),
                         pos=_floats(attrs.get("pos", "0 0 0")),
-                        quat=_floats(attrs.get("quat", "1 0 0 0")),
+                        quat=frame_quat(attrs),
                         contype=int(attrs.get("contype", "1")),
                         conaffinity=int(attrs.get("conaffinity", "1")),
                     )

@@ -26,8 +26,13 @@ _REPO_ROOT = os.path.normpath(os.path.join(os.path.dirname(__file__), "..", ".."
 H1_SCENE_XML = os.path.join(_REPO_ROOT, "robots", "h1_description", "mjcf", "scene.xml")
 
 JNT_FREE = "free"
+JNT_BALL = "ball"
 JNT_HINGE = "hinge"
+JNT_SLIDE = "slide"
 JNT_FIXED = "fixed"
+
+# (nq, nv) consumed per joint type
+JNT_SIZES = {JNT_FREE: (7, 6), JNT_BALL: (4, 3), JNT_HINGE: (1, 1), JNT_SLIDE: (1, 1)}
 
 
 class RobotModel(struct.PyTreeNode):
@@ -66,12 +71,18 @@ class RobotModel(struct.PyTreeNode):
     limit_range: jnp.ndarray  # (n_limited, 2) hinge joint limits
     gravity: jnp.ndarray  # (3,)
     cp_pos: jnp.ndarray  # (ncp, 3) contact points in body frame
+    # (ncp,) per-point surface radius: contact depth = radius - z_world.
+    # Mesh sole points carry 0 (the sampled vertices ARE the surface);
+    # sphere/capsule-derived points carry the primitive's radius.
+    cp_radius: jnp.ndarray
     contact_stiffness: jnp.ndarray  # () N/m normal spring
     contact_damping: jnp.ndarray  # () N·s/m normal damper
     contact_friction: jnp.ndarray  # () Coulomb mu (smoothed)
     # () frictional-to-normal impedance ratio (MuJoCo opt.impratio; the
     # reference sets 100, robot_utils.cpp:58-63). Sharpens the stiction
-    # regularization: tangential viscosity scales ~linearly with it.
+    # regularization: tangential viscosity scales ~with sqrt(impratio)
+    # (eps = 1e-6/impratio under the sqrt in engine.contact_terms; pinned by
+    # test_impratio_stiffens_friction).
     contact_impratio: jnp.ndarray
     key_qpos: jnp.ndarray  # (nq,) "home" keyframe (zeros if absent)
 
@@ -116,12 +127,52 @@ def load_robot(
 ) -> RobotModel:
     """Parse an MJCF file into a RobotModel.
 
-    Contact points are derived from the collision meshes of the end-effector
-    bodies (4 sole corners per foot, see models/stl.py); bodies without a
-    collidable mesh contribute no contact points.
+    Full generality of mj_loadXML's joint model within the point-contact
+    scope (robot_utils.cpp:22 parity): free/ball/hinge/slide joints, multiple
+    joints per body (split into a chain of massless intermediate bodies so
+    the level-batched kinematics stay single-joint-per-body), degree-angle
+    MJCF, and contact points from collision meshes OR primitive geoms
+    (sphere/capsule/box) on the end-effector bodies.
     """
     spec = mjcf_mod.parse_mjcf(xml_path)
-    B = len(spec.bodies)
+
+    # --- split multi-joint bodies into single-joint chains -----------------
+    # A body with joints [j1..jk] becomes k bodies: k-1 massless intermediates
+    # (identity offsets — MJCF joint `pos`/`axis` are in the FINAL body frame,
+    # which coincides with every intermediate frame) and the real body last.
+    # MuJoCo applies a body's joints sequentially in document order
+    # (mj_kinematics); the chain reproduces that composition exactly.
+    bodies = []
+    new_index = {}  # spec index -> chain-tail index in `bodies`
+    for old_i, b in enumerate(spec.bodies):
+        parent_new = new_index[b.parent] if b.parent >= 0 else -1
+        if len(b.joints) <= 1:
+            nb = mjcf_mod.BodySpec(
+                name=b.name, parent=parent_new, pos=b.pos, quat=b.quat,
+                ipos=b.ipos, iquat=b.iquat, mass=b.mass, inertia=b.inertia,
+                joints=list(b.joints), geoms=list(b.geoms),
+            )
+            bodies.append(nb)
+            new_index[old_i] = len(bodies) - 1
+            continue
+        for m, j in enumerate(b.joints):
+            last = m == len(b.joints) - 1
+            nb = mjcf_mod.BodySpec(
+                name=b.name if last else f"{b.name}__chain{m}",
+                parent=parent_new,
+                pos=b.pos if m == 0 else np.zeros(3),
+                quat=b.quat if m == 0 else np.array([1.0, 0, 0, 0]),
+                ipos=b.ipos if last else np.zeros(3),
+                iquat=b.iquat if last else np.array([1.0, 0, 0, 0]),
+                mass=b.mass if last else 0.0,
+                inertia=b.inertia if last else np.zeros(3),
+                joints=[j],
+                geoms=list(b.geoms) if last else [],
+            )
+            bodies.append(nb)
+            parent_new = len(bodies) - 1
+        new_index[old_i] = parent_new
+    B = len(bodies)
 
     body_parent = []
     body_jnt_type = []
@@ -137,10 +188,8 @@ def load_robot(
     nv = 0
     dof_damping = []
     dof_armature = []
-    for i, b in enumerate(spec.bodies):
+    for i, b in enumerate(bodies):
         body_parent.append(b.parent)
-        if len(b.joints) > 1:
-            raise NotImplementedError("multiple joints per body not supported")
         if not b.joints:
             body_jnt_type.append(JNT_FIXED)
             body_qpos_adr.append(-1)
@@ -148,28 +197,25 @@ def load_robot(
             joint_names.append("")
             continue
         j = b.joints[0]
+        if j.jtype not in JNT_SIZES:
+            raise NotImplementedError(f"joint type {j.jtype}")
         joint_names.append(j.name)
         body_qpos_adr.append(nq)
         body_dof_adr.append(nv)
-        if j.jtype == "free":
-            body_jnt_type.append(JNT_FREE)
-            nq += 7
-            nv += 6
-            dof_damping += [0.0] * 6
-            dof_armature += [0.0] * 6
-        elif j.jtype == "hinge":
-            body_jnt_type.append(JNT_HINGE)
+        body_jnt_type.append(j.jtype)
+        dnq, dnv = JNT_SIZES[j.jtype]
+        if j.jtype in (JNT_HINGE, JNT_SLIDE):
             jnt_axis[i] = j.axis / np.linalg.norm(j.axis)
             jnt_pos[i] = j.pos
             if np.all(np.isfinite(j.range)) and j.range[0] < j.range[1]:
                 limit_qpos_idx.append(nq)
                 limit_range.append(j.range)
-            nq += 1
-            nv += 1
-            dof_damping.append(j.damping)
-            dof_armature.append(j.armature)
-        else:
-            raise NotImplementedError(f"joint type {j.jtype}")
+        elif j.jtype == JNT_BALL:
+            jnt_pos[i] = j.pos
+        nq += dnq
+        nv += dnv
+        dof_damping += [j.damping] * dnv
+        dof_armature += [j.armature] * dnv
 
     # Ancestor mask: dof k moves body b iff k's joint is on b or an ancestor.
     ancestor = np.zeros((B, nv))
@@ -180,10 +226,9 @@ def load_robot(
             chain.append(c)
             c = body_parent[c]
         for c in chain:
-            if body_jnt_type[c] == JNT_FREE:
-                ancestor[i, body_dof_adr[c] : body_dof_adr[c] + 6] = 1.0
-            elif body_jnt_type[c] == JNT_HINGE:
-                ancestor[i, body_dof_adr[c]] = 1.0
+            if body_jnt_type[c] != JNT_FIXED:
+                dnv = JNT_SIZES[body_jnt_type[c]][1]
+                ancestor[i, body_dof_adr[c] : body_dof_adr[c] + dnv] = 1.0
 
     # Actuators (motors on hinge joints; torque tau = gear * u).
     act_dof_adr = []
@@ -192,28 +237,65 @@ def load_robot(
     jn_to_body = {jn: i for i, jn in enumerate(joint_names) if jn}
     for a in spec.actuators:
         bidx = jn_to_body[a.joint]
+        if body_jnt_type[bidx] not in (JNT_HINGE, JNT_SLIDE):
+            raise NotImplementedError(
+                f"actuator on {body_jnt_type[bidx]} joint {a.joint!r}; "
+                "motors are supported on hinge/slide joints"
+            )
         act_dof_adr.append(body_dof_adr[bidx])
         act_gear.append(a.gear)
         ctrl_range.append(a.ctrlrange)
     nu = len(act_dof_adr)
 
     # End-effectors and contact points.
-    ee_body_idx = tuple(spec.body_index(n) for n in ee_body_names)
+    name_to_idx = {b.name: i for i, b in enumerate(bodies)}
+    ee_body_idx = tuple(name_to_idx[n] for n in ee_body_names)
     cp_body_idx = []
     cp_pos = []
-    for bidx in ee_body_idx:
-        b = spec.bodies[bidx]
-        for g in b.geoms:
-            if (g.contype or g.conaffinity) and g.mesh and g.mesh in spec.meshes:
-                verts = stl.read_stl_vertices(spec.meshes[g.mesh])
-                from mpc_ilqr_tpu.models._np_quat import np_quat_to_mat
+    cp_radius = []
 
+    def add_point(bidx, p, r=0.0):
+        cp_body_idx.append(bidx)
+        cp_pos.append(np.asarray(p, dtype=np.float64))
+        cp_radius.append(float(r))
+
+    from mpc_ilqr_tpu.models._np_quat import np_quat_to_mat
+
+    for bidx in ee_body_idx:
+        b = bodies[bidx]
+        for g in b.geoms:
+            if not (g.contype or g.conaffinity):
+                continue
+            if g.mesh and g.mesh in spec.meshes:
+                # Collision mesh: sampled sole vertices ARE the surface.
+                verts = stl.read_stl_vertices(spec.meshes[g.mesh])
                 verts = (np_quat_to_mat(g.quat) @ verts.T).T + g.pos
                 for p in stl.sole_contact_points(verts):
-                    cp_body_idx.append(bidx)
-                    cp_pos.append(p)
+                    add_point(bidx, p)
+                break
+            # Primitive geoms: centers/corners with the surface radius folded
+            # into cp_radius (contact depth = radius − z_world). Mirrors how
+            # mj_loadXML-built robots with primitive feet still collide
+            # (robot_utils.cpp:22 accepts any model; our mesh-only round-2
+            # derivation silently gave such robots no contact at all).
+            Rg = np_quat_to_mat(g.quat)
+            if g.gtype == "sphere":
+                add_point(bidx, g.pos, g.size[0])
+                break
+            if g.gtype == "capsule":
+                half = g.size[1] if g.size.size > 1 else 0.0
+                for s in (-half, half):
+                    add_point(bidx, g.pos + Rg @ np.array([0.0, 0, s]), g.size[0])
+                break
+            if g.gtype == "box":
+                sx, sy, sz = g.size[:3]
+                for cx in (-sx, sx):
+                    for cy in (-sy, sy):
+                        for cz in (-sz, sz):
+                            add_point(bidx, g.pos + Rg @ np.array([cx, cy, cz]))
                 break
     cp_pos = np.array(cp_pos).reshape(-1, 3)
+    cp_radius = np.array(cp_radius).reshape(-1)
 
     key_qpos = np.zeros(nq)
     if "home" in spec.keyframes:
@@ -230,7 +312,7 @@ def load_robot(
         nv=nv,
         nu=nu,
         nbody=B,
-        body_names=tuple(b.name for b in spec.bodies),
+        body_names=tuple(b.name for b in bodies),
         body_parent=tuple(body_parent),
         body_jnt_type=tuple(body_jnt_type),
         body_qpos_adr=tuple(body_qpos_adr),
@@ -241,12 +323,12 @@ def load_robot(
         cp_body_idx=tuple(cp_body_idx),
         limit_qpos_idx=tuple(limit_qpos_idx),
         timestep=float(timestep if timestep is not None else spec.timestep),
-        body_pos=arr(np.stack([b.pos for b in spec.bodies])),
-        body_quat=arr(np.stack([b.quat for b in spec.bodies])),
-        body_ipos=arr(np.stack([b.ipos for b in spec.bodies])),
-        body_iquat=arr(np.stack([b.iquat for b in spec.bodies])),
-        body_mass=arr([b.mass for b in spec.bodies]),
-        body_inertia=arr(np.stack([b.inertia for b in spec.bodies])),
+        body_pos=arr(np.stack([b.pos for b in bodies])),
+        body_quat=arr(np.stack([b.quat for b in bodies])),
+        body_ipos=arr(np.stack([b.ipos for b in bodies])),
+        body_iquat=arr(np.stack([b.iquat for b in bodies])),
+        body_mass=arr([b.mass for b in bodies]),
+        body_inertia=arr(np.stack([b.inertia for b in bodies])),
         jnt_axis=arr(jnt_axis),
         jnt_pos=arr(jnt_pos),
         dof_damping=arr(dof_damping),
@@ -257,6 +339,7 @@ def load_robot(
         limit_range=arr(np.stack(limit_range) if limit_range else np.zeros((0, 2))),
         gravity=arr(g),
         cp_pos=arr(cp_pos),
+        cp_radius=arr(cp_radius),
         contact_stiffness=arr(contact_stiffness),
         contact_damping=arr(contact_damping),
         contact_friction=arr(contact_friction),

@@ -39,8 +39,15 @@ class LevelPlan(NamedTuple):
 
 def build_level_plans(model: RobotModel) -> Tuple[LevelPlan, ...]:
     B, nq = model.nbody, model.nq
+    unsupported = set(model.body_jnt_type) - {"free", "hinge", "fixed"}
+    if unsupported:
+        raise NotImplementedError(
+            f"pallas FK plan supports free/hinge/fixed joints only (model "
+            f"has {sorted(unsupported)})"
+        )
     plans = []
-    for free, hinge, fixed in _tree_levels(model.body_parent, model.body_jnt_type):
+    for lv in _tree_levels(model.body_parent, model.body_jnt_type):
+        free, hinge, fixed = lv.get("free", ()), lv.get("hinge", ()), lv.get("fixed", ())
         for kind, group in (("free", free), ("hinge", hinge), ("fixed", fixed)):
             if not group:
                 continue

@@ -77,9 +77,16 @@ class StepPlan(NamedTuple):
 
 def build_step_plan(model: RobotModel) -> StepPlan:
     B, nv, nq, nu = model.nbody, model.nv, model.nq, model.nu
+    unsupported = set(model.body_jnt_type) - {"free", "hinge", "fixed"}
+    if unsupported:
+        raise NotImplementedError(
+            f"pallas step plan supports free/hinge/fixed joints only (model "
+            f"has {sorted(unsupported)}); use rollout_backend='xla'"
+        )
     levels = []
     kinds = []
-    for free, hinge, fixed in _tree_levels(model.body_parent, model.body_jnt_type):
+    for lv in _tree_levels(model.body_parent, model.body_jnt_type):
+        free, hinge, fixed = lv.get("free", ()), lv.get("hinge", ()), lv.get("fixed", ())
         for kind, group in (("free", free), ("hinge", hinge), ("fixed", fixed)):
             if not group:
                 continue
@@ -359,7 +366,7 @@ def step_mosaic(model: RobotModel, plan: StepPlan, x: jnp.ndarray, u: jnp.ndarra
             vel = jnp.concatenate(
                 [jnp.matmul(v[None, :], colc[n], precision=HP) for n in range(ncp)], axis=0
             )  # (ncp, 3)
-            depth = -pw[:, 2]
+            depth = model.cp_radius.astype(dt) - pw[:, 2]
             active = jnp.where(depth > 0.0, 1.0, 0.0).astype(dt)
             fn_el = model.contact_stiffness.astype(dt) * depth * active
             vt = vel[:, :2]

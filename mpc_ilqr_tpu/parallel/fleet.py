@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from mpc_ilqr_tpu.costs.params import CostParams
 from mpc_ilqr_tpu.costs.references import ReferenceSet
+from mpc_ilqr_tpu.ilqr import solver as ilqr_solver
 from mpc_ilqr_tpu.ilqr.solver import ILQRConfig
 from mpc_ilqr_tpu.models.robot import RobotModel
 from mpc_ilqr_tpu.mpc import controller
@@ -58,7 +59,12 @@ def randomized_models(model: RobotModel, key: jax.Array, n: int,
 def fleet_step_once(models: RobotModel, cp: CostParams, cfg: ILQRConfig,
                     refs: ReferenceSet, states, xs: jnp.ndarray):
     """One MPC step for every fleet instance (batched leading axis on the
-    model pytree, states and xs). cp/refs are shared (broadcast)."""
+    model pytree, states and xs). cp/refs are shared (broadcast).
+
+    The config is auto-downgraded to its vmap-safe form (cascade →
+    first_accept, while → scan outer loop): under vmap a cascade's lax.cond
+    lowers to select and silently executes both phases per instance."""
+    cfg = ilqr_solver.vmap_safe(cfg)
 
     def one(m, s, x):
         return controller.step_once(m, cp, cfg, refs, s, x)

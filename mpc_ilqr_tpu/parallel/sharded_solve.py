@@ -85,7 +85,11 @@ def sharded_line_search(
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         improves = costs < baseline_cost - cfg.accept_threshold
         accepted = improves.any()
-        if cfg.line_search == "first_accept":
+        # "cascade" is two-phase first_accept in the local solver; sharded
+        # over devices the phases collapse into one batch, so any non-argmin
+        # mode selects the first (largest) improving alpha — preserving
+        # ilqr.line_search semantics for the shipped cascade default.
+        if cfg.line_search != "argmin":
             idx = jnp.argmax(improves)
         else:
             idx = jnp.argmin(costs)

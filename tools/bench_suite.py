@@ -34,6 +34,9 @@ REFERENCE_MS = 2472.80  # reference avg MPC step (README.md:203)
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
+_PARITY = False  # --parity: reference solver settings (ilqr.cpp:16)
+
+
 def _setup(standing: bool, **cfg_overrides):
     import jax.numpy as jnp
 
@@ -45,6 +48,13 @@ def _setup(standing: bool, **cfg_overrides):
         app.q_ref_path = "data/q_standing.csv"
         app.v_ref_path = "data/v_standing.csv"
         app.contact_schedule_path = "data/contact_standing.csv"
+    if _PARITY:
+        # The reference's solver settings (tol 1e-4, 10 iterations,
+        # /root/reference/src/ilqr/ilqr.cpp:16) instead of the TPU-tuned
+        # deployment defaults in config.yaml — VERDICT r2 weak 5: report
+        # parity-settings perf alongside the tuned headline.
+        app.engine["tolerance"] = 1e-4
+        app.engine["max_iterations"] = 10
     prob = runner.setup(app)
     if cfg_overrides:
         prob = prob._replace(cfg=dataclasses.replace(prob.cfg, **cfg_overrides))
@@ -83,14 +93,16 @@ def _timed_loop(prob, n_steps, reps=3):
 def bench_standing(args):
     prob = _setup(standing=True)
     ms, compile_s, hist, xf = _timed_loop(prob, args.steps)
-    _emit("standing_mpc_ms_per_step", ms, "ms", REFERENCE_MS / ms,
+    tag = "_parity" if _PARITY else ""
+    _emit(f"standing_mpc_ms_per_step{tag}", ms, "ms", REFERENCE_MS / ms,
           compile_s=compile_s, final_cost=float(hist["cost"][-1]), base_z=float(xf[2]))
 
 
 def bench_walking(args):
     prob = _setup(standing=False)
     ms, compile_s, hist, xf = _timed_loop(prob, args.steps)
-    _emit("walking_mpc_ms_per_step", ms, "ms", REFERENCE_MS / ms,
+    tag = "_parity" if _PARITY else ""
+    _emit(f"walking_mpc_ms_per_step{tag}", ms, "ms", REFERENCE_MS / ms,
           compile_s=compile_s, final_cost=float(hist["cost"][-1]), base_z=float(xf[2]))
 
 
@@ -216,7 +228,12 @@ def main():
     ap.add_argument("--steps", type=int, default=15)
     ap.add_argument("--fleet", type=int, default=1024)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--parity", action="store_true",
+                    help="reference solver settings: tol 1e-4, 10 iterations "
+                         "(ilqr.cpp:16) — applies to standing/walking")
     args = ap.parse_args()
+    global _PARITY
+    _PARITY = args.parity
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     names = list(CONFIGS) if args.config == "all" else [args.config]

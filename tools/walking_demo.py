@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Walking-gait tracking on the REAL MuJoCo plant (VERDICT r3 item 3).
+
+Runs the STOCK walking config (q_ref2_mj/v_ref2 + contact_walking.csv,
+full N=25 horizon) closed-loop against a MuJoCo plant with the reference's
+Newton/elliptic-cone solver settings (robot_utils.cpp:588-592) — the
+reference's exact deployment shape (humanoid_mpc.cpp:122-190) — for
+--steps steps (default 120 > the 100 the verdict asks for).
+
+Outputs:
+  docs/artifacts/walking_mujoco_tracking_comparison.png
+  docs/artifacts/walking_mujoco_tracking_errors.png
+  docs/artifacts/walking_mujoco_summary.json   (mean/max/RMS per axis)
+
+Usage: python tools/walking_demo.py [--steps 120] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--outdir", default=os.path.join(ROOT, "docs", "artifacts"))
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from mpc_ilqr_tpu.io.config import load_config
+    from mpc_ilqr_tpu.mpc import runner
+    from mpc_ilqr_tpu.mpc.mujoco_plant import run_mujoco_in_the_loop
+
+    app = load_config(os.path.join(ROOT, "config.yaml"))  # stock = walking
+    prob = runner.setup(app)
+    print(f"device={jax.devices()[0]} N={prob.cfg.N} steps={args.steps}", flush=True)
+
+    t0 = time.perf_counter()
+    hist = run_mujoco_in_the_loop(prob, args.steps, verbose=True)
+    wall = time.perf_counter() - t0
+
+    xs = np.stack(hist["x"])  # state AFTER each plant step
+    q_ref = np.loadtxt(os.path.join(ROOT, "data", "q_ref2_mj.csv"), delimiter=",")
+    n = len(xs)
+    # Plant state after step i corresponds to reference row i+1 (the window
+    # at t_idx=i targets rows i..i+N; the first tracked knot is i+1).
+    ref = q_ref[1 : n + 1]
+    t = np.arange(n) * app.mpc.dt
+
+    labels = ["X", "Y", "Z", "qw"]
+    summary = {"steps": n, "wall_s": round(wall, 1), "final_cost": hist["cost"][-1]}
+    fig, axes = plt.subplots(2, 2, figsize=(12, 8))
+    for ax, lab, i in zip(axes.ravel(), labels, range(4)):
+        ax.plot(t, xs[:, i], label="MuJoCo plant")
+        ax.plot(t, ref[:, i], "--", label="walking reference")
+        ax.set_title(f"Base {lab} tracking (real MuJoCo physics)")
+        ax.set_xlabel("time [s]")
+        ax.legend()
+        ax.grid(alpha=0.3)
+        err = xs[:, i] - ref[:, i]
+        summary[f"{lab}_mean_err"] = float(np.mean(np.abs(err)))
+        summary[f"{lab}_max_err"] = float(np.max(np.abs(err)))
+        summary[f"{lab}_rms_err"] = float(np.sqrt(np.mean(err**2)))
+    os.makedirs(args.outdir, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "walking_mujoco_tracking_comparison.png"), dpi=120)
+
+    fig2, axes2 = plt.subplots(2, 2, figsize=(12, 8))
+    for ax, lab, i in zip(axes2.ravel(), labels, range(4)):
+        ax.plot(t, (xs[:, i] - ref[:, i]) * (1000.0 if i < 3 else 1.0))
+        ax.set_title(f"Base {lab} error [{'mm' if i < 3 else 'quat'}]")
+        ax.set_xlabel("time [s]")
+        ax.grid(alpha=0.3)
+    fig2.tight_layout()
+    fig2.savefig(os.path.join(args.outdir, "walking_mujoco_tracking_errors.png"), dpi=120)
+
+    with open(os.path.join(args.outdir, "walking_mujoco_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+    x_max_mm = summary["X_max_err"] * 1000
+    print(
+        f"\nbase-X tracking: mean {summary['X_mean_err']*1000:.2f} mm, "
+        f"max {x_max_mm:.2f} mm over {n} steps on real MuJoCo physics"
+    )
+
+
+if __name__ == "__main__":
+    main()
