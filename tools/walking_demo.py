@@ -40,10 +40,46 @@ import numpy as np
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
+def _run_engine_plant(prob, n_steps):
+    """Closed loop with the differentiable engine as the plant — the same
+    jitted step_once graph as the MuJoCo run (no StepPlan), different plant."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from mpc_ilqr_tpu.dynamics import engine
+    from mpc_ilqr_tpu.models.robot import standing_state
+    from mpc_ilqr_tpu.mpc import controller
+
+    model, cp, cfg, refs, app = prob.model, prob.cp, prob.cfg, prob.refs, prob.app
+    step_once = jax.jit(functools.partial(controller.step_once, model, cp, cfg))
+    substeps = max(1, round(app.mpc.dt / app.mpc.physics_dt))
+    plant_step = jax.jit(lambda xx, uu: engine.step(model, xx, uu, substeps))
+
+    x = standing_state(model)
+    state = controller.init_state(model, cfg)
+    hist = {"x": [], "u": [], "cost": []}
+    for i in range(n_steps):
+        state, u, diag = jax.block_until_ready(step_once(refs, state, x))
+        x = plant_step(x, u)
+        hist["x"].append(np.asarray(x))
+        hist["u"].append(np.asarray(u))
+        hist["cost"].append(float(diag.cost))
+        if i % 10 == 0:
+            xh = np.asarray(x)
+            print(f"[engine-loop] step {i}: cost {float(diag.cost):.4f} "
+                  f"base x {xh[0]:.4f} z {xh[2]:.4f} qw {xh[3]:.4f}", flush=True)
+    return hist
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--plant", default="mujoco", choices=["mujoco", "engine"],
+                    help="mujoco = reference deployment shape; engine = "
+                         "self-consistent diagnostic (isolates the contact-"
+                         "model gap from controller/gait issues)")
     ap.add_argument("--outdir", default=os.path.join(ROOT, "docs", "artifacts"))
     args = ap.parse_args()
     if args.cpu:
@@ -55,10 +91,14 @@ def main():
 
     app = load_config(os.path.join(ROOT, "config.yaml"))  # stock = walking
     prob = runner.setup(app)
-    print(f"device={jax.devices()[0]} N={prob.cfg.N} steps={args.steps}", flush=True)
+    print(f"device={jax.devices()[0]} N={prob.cfg.N} steps={args.steps} "
+          f"plant={args.plant}", flush=True)
 
     t0 = time.perf_counter()
-    hist = run_mujoco_in_the_loop(prob, args.steps, verbose=True)
+    if args.plant == "engine":
+        hist = _run_engine_plant(prob, args.steps)
+    else:
+        hist = run_mujoco_in_the_loop(prob, args.steps, verbose=True)
     wall = time.perf_counter() - t0
 
     xs = np.stack(hist["x"])  # state AFTER each plant step
@@ -69,8 +109,10 @@ def main():
     ref = q_ref[1 : n + 1]
     t = np.arange(n) * app.mpc.dt
 
+    tag = "walking_mujoco" if args.plant == "mujoco" else "walking_engine"
     labels = ["X", "Y", "Z", "qw"]
-    summary = {"steps": n, "wall_s": round(wall, 1), "final_cost": hist["cost"][-1]}
+    summary = {"steps": n, "plant": args.plant, "wall_s": round(wall, 1),
+               "final_cost": hist["cost"][-1]}
     fig, axes = plt.subplots(2, 2, figsize=(12, 8))
     for ax, lab, i in zip(axes.ravel(), labels, range(4)):
         ax.plot(t, xs[:, i], label="MuJoCo plant")
@@ -85,7 +127,7 @@ def main():
         summary[f"{lab}_rms_err"] = float(np.sqrt(np.mean(err**2)))
     os.makedirs(args.outdir, exist_ok=True)
     fig.tight_layout()
-    fig.savefig(os.path.join(args.outdir, "walking_mujoco_tracking_comparison.png"), dpi=120)
+    fig.savefig(os.path.join(args.outdir, f"{tag}_tracking_comparison.png"), dpi=120)
 
     fig2, axes2 = plt.subplots(2, 2, figsize=(12, 8))
     for ax, lab, i in zip(axes2.ravel(), labels, range(4)):
@@ -94,9 +136,9 @@ def main():
         ax.set_xlabel("time [s]")
         ax.grid(alpha=0.3)
     fig2.tight_layout()
-    fig2.savefig(os.path.join(args.outdir, "walking_mujoco_tracking_errors.png"), dpi=120)
+    fig2.savefig(os.path.join(args.outdir, f"{tag}_tracking_errors.png"), dpi=120)
 
-    with open(os.path.join(args.outdir, "walking_mujoco_summary.json"), "w") as f:
+    with open(os.path.join(args.outdir, f"{tag}_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
     x_max_mm = summary["X_max_err"] * 1000
