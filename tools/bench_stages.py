@@ -31,7 +31,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--reps", type=int, default=50)
-    ap.add_argument("--config", default="standing", choices=["standing", "walking"])
+    ap.add_argument("--config", default="standing",
+                    choices=["standing", "walking", "long_horizon"])
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -48,10 +49,16 @@ def main():
 
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     app = load_config(os.path.join(root, "config.yaml"))
-    if args.config == "standing":
+    if args.config in ("standing", "long_horizon"):
         app.q_ref_path = "data/q_standing.csv"
         app.v_ref_path = "data/v_standing.csv"
         app.contact_schedule_path = "data/contact_standing.csv"
+    if args.config == "long_horizon":
+        # BASELINE config 4: N=100 @ 100 Hz replanning (VERDICT r3 item 4 —
+        # the measured breakdown proving the latency floor).
+        app.mpc.dt = 0.01
+        app.mpc.physics_dt = 0.01
+        app.mpc.horizon = 100
     prob = runner.setup(app)
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
     print(f"device: {jax.devices()[0]}, N={cfg.N}, reps={args.reps}", flush=True)

@@ -176,18 +176,20 @@ def bench_fleet(args):
     # (lax.cond lowers to select under vmap, so a cascade would execute both
     # phases per instance), 4 alphas, the batch-friendly masked SPD solver,
     # lockstep 2 iterations.
-    prob = _setup(
-        standing=True,
+    overrides = dict(
         max_iterations=2,
         line_search="first_accept",
         alphas=(1.0, 0.6, 0.2, 0.05),
         rollout_solver="masked",
     )
+    if args.fleet_lin:
+        overrides["linearization"] = args.fleet_lin
+    prob = _setup(standing=True, **overrides)
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
     models = fleet_mod.randomized_models(model, jax.random.PRNGKey(0), n)
     states = fleet_mod.fleet_init(models, cfg, n)
     xs = jnp.tile(standing_state(model)[None], (n, 1))
-    chunk = min(128, n)
+    chunk = min(args.chunk, n)
     step = jax.jit(
         lambda m, s, x: fleet_mod.fleet_step_chunked(m, cp, cfg, refs, s, x, chunk)
     )
@@ -227,6 +229,15 @@ def main():
     ap.add_argument("--config", default="all", choices=list(CONFIGS) + ["all"])
     ap.add_argument("--steps", type=int, default=15)
     ap.add_argument("--fleet", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=128,
+                    help="fleet vmap chunk (lax.map over fleet/chunk chunks); "
+                         "bigger chunks amortize the serial rollout chains, "
+                         "bounded by the linearize tangent HBM footprint")
+    ap.add_argument("--fleet-lin", default=None,
+                    choices=["ad", "ad_frozen_mass", "fd"],
+                    help="fleet linearization variant override; fd has no "
+                         "jacfwd tangent tensors (plain batched primal step "
+                         "evals), so much larger --chunk values fit in HBM")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--parity", action="store_true",
                     help="reference solver settings: tol 1e-4, 10 iterations "

@@ -80,6 +80,13 @@ def main():
                     help="mujoco = reference deployment shape; engine = "
                          "self-consistent diagnostic (isolates the contact-"
                          "model gap from controller/gait issues)")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="override engine.max_iterations (10 = reference "
+                         "parity, ilqr.cpp:16)")
+    ap.add_argument("--tol", type=float, default=None,
+                    help="override engine.tolerance (1e-4 = reference parity)")
+    ap.add_argument("--tag", default=None,
+                    help="artifact name tag (default walking_<plant>)")
     ap.add_argument("--outdir", default=os.path.join(ROOT, "docs", "artifacts"))
     args = ap.parse_args()
     if args.cpu:
@@ -90,6 +97,10 @@ def main():
     from mpc_ilqr_tpu.mpc.mujoco_plant import run_mujoco_in_the_loop
 
     app = load_config(os.path.join(ROOT, "config.yaml"))  # stock = walking
+    if args.iters is not None:
+        app.engine["max_iterations"] = args.iters
+    if args.tol is not None:
+        app.engine["tolerance"] = args.tol
     prob = runner.setup(app)
     print(f"device={jax.devices()[0]} N={prob.cfg.N} steps={args.steps} "
           f"plant={args.plant}", flush=True)
@@ -109,10 +120,21 @@ def main():
     ref = q_ref[1 : n + 1]
     t = np.arange(n) * app.mpc.dt
 
-    tag = "walking_mujoco" if args.plant == "mujoco" else "walking_engine"
+    tag = args.tag or ("walking_mujoco" if args.plant == "mujoco" else "walking_engine")
     labels = ["X", "Y", "Z", "qw"]
     summary = {"steps": n, "plant": args.plant, "wall_s": round(wall, 1),
                "final_cost": hist["cost"][-1]}
+    # The reference's own deployment length is sim_steps=100 (config.yaml:22)
+    # — report that window separately when the run is longer. (Beyond ~t=2.5s
+    # the gait demands up to 7.3 m/s^2 of horizontal acceleration, while the
+    # stock gravity [0,0,-1] caps the friction cone at mu*g = 1.0 m/s^2 for
+    # the 51.6 kg robot — physically untrackable for ANY controller, ours or
+    # the reference's.)
+    if n > 100:
+        for i, lab in enumerate(labels):
+            err100 = xs[:100, i] - ref[:100, i]
+            summary[f"{lab}_mean_err_first100"] = float(np.mean(np.abs(err100)))
+            summary[f"{lab}_max_err_first100"] = float(np.max(np.abs(err100)))
     fig, axes = plt.subplots(2, 2, figsize=(12, 8))
     for ax, lab, i in zip(axes.ravel(), labels, range(4)):
         ax.plot(t, xs[:, i], label="MuJoCo plant")
@@ -138,6 +160,7 @@ def main():
     fig2.tight_layout()
     fig2.savefig(os.path.join(args.outdir, f"{tag}_tracking_errors.png"), dpi=120)
 
+    np.save(os.path.join(args.outdir, f"{tag}_states.npy"), xs)
     with open(os.path.join(args.outdir, f"{tag}_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
