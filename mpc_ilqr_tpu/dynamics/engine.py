@@ -80,6 +80,29 @@ def _world_inertias(model: RobotModel, fr: KinFrames) -> jnp.ndarray:
     return _ei("bij,bj,bkj->bik", Rin, model.body_inertia, Rin)
 
 
+def _principal_rotate(model: RobotModel, fr: KinFrames, vecs: jnp.ndarray,
+                      transpose: bool = False) -> jnp.ndarray:
+    """Apply Rin = fr.R @ R(iquat) (or its transpose) to a (B,3)/(B,3,n) batch
+    WITHOUT materializing Rin: at fleet-linearization batch sizes any
+    (B,3,3) product tensor pads ~57x under TPU (8,128) tiling (measured
+    8.5 GB per copy at [128,25,70,20,3,3] — the round-3 fleet OOM), while
+    the two-step rotation keeps only the FK-produced fr.R plus well-shaped
+    (B,3,n) intermediates."""
+    Ri = qm.quat_to_mat(model.body_iquat)  # constant per model, (B,3,3)
+    v = vecs if vecs.ndim == 3 else vecs[..., None]
+    if transpose:  # Rinᵀ v = Riᵀ (fr.Rᵀ v)
+        out = _ei("bji,bjl->bil", Ri, _ei("bji,bjl->bil", fr.R, v))
+    else:  # Rin v = fr.R (Ri v)
+        out = _ei("bij,bjl->bil", fr.R, _ei("bij,bjl->bil", Ri, v))
+    return out if vecs.ndim == 3 else out[..., 0]
+
+
+def _apply_world_inertia(model: RobotModel, fr: KinFrames, vecs: jnp.ndarray) -> jnp.ndarray:
+    """Iw @ v per body via the congruence Iw = Rin diag(I) Rinᵀ, (B,3)->(B,3)."""
+    loc = _principal_rotate(model, fr, vecs, transpose=True)
+    return _principal_rotate(model, fr, model.body_inertia * loc)
+
+
 def _qdot(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Time derivative of qpos given qvel (quaternion kinematics included)."""
     qd = jnp.zeros_like(q)
@@ -192,14 +215,19 @@ def _dynamics_terms(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray):
 
     alpha, acc_c = _body_accelerations(model, fr, v, omega, pc)
 
-    Iw = _world_inertias(model, fr)
-    IwJw_f = _flat(_ei("bij,bjl->bil", Iw, Jw))
+    # M_rot = Jwᵀ Iw Jw = Gᵀ diag(I) G with G = Rinᵀ Jw — the congruence form
+    # keeps every intermediate (B,3,nv)-shaped (lane dim nv) and lowers to
+    # two MXU matmuls via _flat; no (B,3,3) world-inertia tensor exists.
+    G = _principal_rotate(model, fr, Jw, transpose=True)  # (B,3,nv)
+    Gd = model.body_inertia[:, :, None] * G
     mass3 = jnp.repeat(model.body_mass, 3)[:, None]
-    M = _mm(Jv_f.T, Jv_f * mass3) + _mm(Jw_f.T, IwJw_f)
+    M = _mm(Jv_f.T, Jv_f * mass3) + _mm(_flat(G).T, _flat(Gd))
     M = M + jnp.diag(model.dof_armature)
 
     f = model.body_mass[:, None] * (acc_c - model.gravity[None, :])  # (B,3)
-    n = _ei("bij,bj->bi", Iw, alpha) + jnp.cross(omega, _ei("bij,bj->bi", Iw, omega))
+    n = _apply_world_inertia(model, fr, alpha) + jnp.cross(
+        omega, _apply_world_inertia(model, fr, omega)
+    )
     bias = _mm(Jv_f.T, f.reshape(-1)) + _mm(Jw_f.T, n.reshape(-1))
     return fr, M, bias
 
@@ -208,10 +236,11 @@ def mass_matrix(model: RobotModel, fr: KinFrames) -> jnp.ndarray:
     """Joint-space inertia matrix M(q) + armature, shape (nv, nv)."""
     pc = body_com_positions(model, fr)
     Jv, Jw = body_jacobians(model, fr, pc)
-    Iw = _world_inertias(model, fr)
-    Jv_f, Jw_f = _flat(Jv), _flat(Jw)
+    Jv_f = _flat(Jv)
+    G = _principal_rotate(model, fr, Jw, transpose=True)  # (B,3,nv)
+    Gd = model.body_inertia[:, :, None] * G
     mass3 = jnp.repeat(model.body_mass, 3)[:, None]
-    M = _mm(Jv_f.T, Jv_f * mass3) + _mm(Jw_f.T, _flat(_ei("bij,bjl->bil", Iw, Jw)))
+    M = _mm(Jv_f.T, Jv_f * mass3) + _mm(_flat(G).T, _flat(Gd))
     return M + jnp.diag(model.dof_armature)
 
 
