@@ -92,6 +92,22 @@ class ILQRConfig:
     # fallback batch (the f32 kernel's rollout differs by ~7e-5, which can
     # flip an accept decision sitting exactly on the threshold).
     cascade_p1_backend: str = "pallas"
+    # Attempts of (backward pass + line search) per outer iteration. The
+    # reference retries once with lambda*10 after a failed line search
+    # (ilqr.cpp:619-644) — attempts=2. Under vmap the attempt while_loop
+    # executes the retry for the WHOLE batch whenever any instance fails
+    # (near-certain at fleet scale), doubling backward+LS fleet-wide;
+    # inner_attempts=1 drops the same-iteration retry — the lambda*10 bump
+    # still happens, taking effect on the next outer iteration instead.
+    inner_attempts: int = 2
+    # Re-linearize every k-th outer iteration (1 = every iteration, the
+    # reference semantics, ilqr.cpp:126-131). k>1 reuses stale A/B between
+    # iterations quasi-Newton style — safe (the line search only ever
+    # accepts true cost decreases) but can slow per-iteration convergence.
+    # Honored only with outer_loop="scan", where the fixed trip count lets
+    # the loop unroll statically (lax.cond inside a vmapped scan would
+    # execute both branches and save nothing).
+    linearize_every: int = 1
 
 
 def vmap_safe(cfg: ILQRConfig) -> ILQRConfig:
@@ -447,9 +463,9 @@ def solve(
     def cond(c: Carry):
         return (~c.done) & (c.it < cfg.max_iterations)
 
-    def body(c: Carry) -> Carry:
+    def body(c: Carry, AB=None):
         xbar = c.xbar  # consistent nominal (see xbar_rolled note above)
-        A, B = linearize(model, cfg, xbar, c.ubar)
+        A, B = linearize(model, cfg, xbar, c.ubar) if AB is None else AB
         quad = quadraticize(model, cp, win, xbar, c.ubar)
         baseline = trajectory_cost(model, cp, win, xbar, c.ubar, mode=cfg.cost_mode)
 
@@ -505,7 +521,10 @@ def solve(
             cost=baseline,
             best=jnp.asarray(jnp.inf, dtype),
         )
-        a = jax.lax.while_loop(att_cond, att_body, a0)
+        if cfg.inner_attempts == 1:
+            a = att_body(a0)  # no same-iteration retry (see inner_attempts)
+        else:
+            a = jax.lax.while_loop(att_cond, att_body, a0)
 
         # Stationary: no alpha improved, but none moved the cost beyond the
         # convergence tolerance either — the warm start is already optimal.
@@ -523,7 +542,7 @@ def solve(
         delta = jnp.abs(new_cost - c.cost)
         converged = a.ok & (delta < cfg.tolerance)
         diverged = a.ok & (new_cost > cfg.divergence_threshold)
-        return Carry(
+        return (A, B), Carry(
             xbar=new_xbar,
             ubar=new_ubar,
             K=a.K,
@@ -537,17 +556,27 @@ def solve(
             diverged=c.diverged | diverged,
         )
 
-    if cfg.outer_loop == "scan":
+    def masked(c: Carry, c2: Carry) -> Carry:
+        # Converged/diverged lanes freeze their carry (masked update).
+        return jax.tree.map(lambda n, o: jnp.where(c.done, o, n), c2, c)
+
+    if cfg.outer_loop == "scan" and cfg.linearize_every > 1:
+        # Static Python unroll: linearize only on every k-th trip, reusing
+        # the (stale) A/B in between — see ILQRConfig.linearize_every.
+        c, AB = init, None
+        for it in range(cfg.max_iterations):
+            use = None if it % cfg.linearize_every == 0 else AB
+            AB, c2 = body(c, use)
+            c = masked(c, c2)
+    elif cfg.outer_loop == "scan":
 
         def body_scan(c: Carry, _):
-            c2 = body(c)
-            # Converged/diverged lanes freeze their carry (masked update).
-            c2 = jax.tree.map(lambda n, o: jnp.where(c.done, o, n), c2, c)
-            return c2, None
+            _, c2 = body(c)
+            return masked(c, c2), None
 
         c, _ = jax.lax.scan(body_scan, init, None, length=cfg.max_iterations)
     else:
-        c = jax.lax.while_loop(cond, body, init)
+        c = jax.lax.while_loop(cond, lambda c: body(c)[1], init)
     return ILQRSolution(
         xbar=c.xbar,
         ubar=c.ubar,

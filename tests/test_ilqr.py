@@ -257,3 +257,55 @@ def test_cascade_line_search_matches_first_accept(pend):
     np.testing.assert_allclose(np.asarray(sol_ca.ubar), np.asarray(sol_fa.ubar), atol=1e-12)
     assert int(sol_ca.iterations) == int(sol_fa.iterations)
     assert bool(sol_ca.success) == bool(sol_fa.success)
+
+
+def test_fleet_tuned_knobs_preserve_solution_quality(pend):
+    """inner_attempts=1 and linearize_every=2 (the fleet-tuned trades, see
+    ILQRConfig) must still solve the LQ problem: on a problem where every
+    line search accepts at alpha=1, attempts never retry and stale A/B are
+    exact (linear dynamics), so all three solves are numerically identical."""
+    import dataclasses
+
+    cp, win, cfg = make_lq_problem(pend)
+    x0 = jnp.array([0.7, 0.1], dtype=jnp.float64)
+    ubar = jnp.zeros((cfg.N, 1), jnp.float64)
+
+    base = dataclasses.replace(cfg, outer_loop="scan", max_iterations=3)
+    sol0 = jax.jit(lambda: ilqr.solve(pend, cp, base, x0, win, ubar))()
+    assert bool(sol0.success)
+
+    c1 = dataclasses.replace(base, inner_attempts=1)
+    sol1 = jax.jit(lambda: ilqr.solve(pend, cp, c1, x0, win, ubar))()
+    np.testing.assert_allclose(float(sol1.cost), float(sol0.cost), rtol=1e-12)
+
+    c2 = dataclasses.replace(base, linearize_every=2)
+    sol2 = jax.jit(lambda: ilqr.solve(pend, cp, c2, x0, win, ubar))()
+    np.testing.assert_allclose(float(sol2.cost), float(sol0.cost), rtol=1e-12)
+
+    c3 = dataclasses.replace(base, inner_attempts=1, linearize_every=2)
+    sol3 = jax.jit(lambda: ilqr.solve(pend, cp, c3, x0, win, ubar))()
+    np.testing.assert_allclose(float(sol3.cost), float(sol0.cost), rtol=1e-12)
+
+
+def test_fleet_tuned_knobs_under_vmap(pend):
+    """The unrolled (linearize_every>1) scan path and single-attempt inner
+    loop must vmap cleanly — the fleet shape that motivates them."""
+    import dataclasses
+
+    cp, win, cfg = make_lq_problem(pend)
+    c = dataclasses.replace(
+        cfg, outer_loop="scan", max_iterations=2, inner_attempts=1, linearize_every=2
+    )
+    x0s = jnp.stack([jnp.array([0.5, 0.0]), jnp.array([-0.4, 0.2]),
+                     jnp.array([0.1, -0.3])]).astype(jnp.float64)
+    ubar = jnp.zeros((cfg.N, 1), jnp.float64)
+    sols = jax.jit(jax.vmap(lambda x0: ilqr.solve(pend, cp, c, x0, win, ubar)))(x0s)
+    assert bool(jnp.all(sols.success))
+    assert bool(jnp.all(jnp.isfinite(sols.cost)))
+    # Each instance must beat its do-nothing baseline.
+    from mpc_ilqr_tpu.costs.quadratics import trajectory_cost
+
+    for i in range(3):
+        xs0 = ilqr.rollout(pend, cfg, x0s[i], ubar)
+        c0 = trajectory_cost(pend, cp, win, xs0, ubar, mode="reference")
+        assert float(sols.cost[i]) < float(c0) + 1e-9

@@ -181,6 +181,8 @@ def bench_fleet(args):
         line_search="first_accept",
         alphas=(1.0, 0.6, 0.2, 0.05),
         rollout_solver="masked",
+        inner_attempts=args.fleet_attempts,
+        linearize_every=args.fleet_linevery,
     )
     if args.fleet_lin:
         overrides["linearization"] = args.fleet_lin
@@ -233,6 +235,12 @@ def main():
                     help="fleet vmap chunk (lax.map over fleet/chunk chunks); "
                          "bigger chunks amortize the serial rollout chains, "
                          "bounded by the linearize tangent HBM footprint")
+    ap.add_argument("--fleet-attempts", type=int, default=2,
+                    help="inner (backward+LS) attempts per outer iteration "
+                         "(1 = no same-iteration retry; fleet-tuned)")
+    ap.add_argument("--fleet-linevery", type=int, default=1,
+                    help="re-linearize every k-th outer iteration (k>1 "
+                         "reuses stale A/B quasi-Newton style)")
     ap.add_argument("--fleet-lin", default=None,
                     choices=["ad", "ad_frozen_mass", "fd"],
                     help="fleet linearization variant override; fd has no "
