@@ -108,6 +108,14 @@ class ILQRConfig:
     # the loop unroll statically (lax.cond inside a vmapped scan would
     # execute both branches and save nothing).
     linearize_every: int = 1
+    # Tangent/perturbation chunking for linearize: split the nx+nu input
+    # directions into groups of this size and lax.map over the groups,
+    # holding peak linearize memory at chunk/(nx+nu) of the full batch.
+    # 0 = all directions at once. The groups are sequential but each stays
+    # a (batch, N, chunk)-wide eval — throughput-, not latency-bound. This
+    # is what lets a 1024-instance fleet solve run fully vmapped (the
+    # full-width tangent tensor is [fleet, N, 70, ...] ~ 29 GB > HBM).
+    lin_chunk: int = 0
 
 
 def vmap_safe(cfg: ILQRConfig) -> ILQRConfig:
@@ -174,28 +182,47 @@ def linearize(model: RobotModel, cfg: ILQRConfig, xs: jnp.ndarray, us: jnp.ndarr
     (SURVEY §7 hard part 2).
     """
     nx = model.nx
+    nd = nx + model.nu
     frozen = cfg.linearization == "ad_frozen_mass"
 
     def f(xu):
         return engine.step(model, xu[:nx], xu[nx:], cfg.n_substeps, frozen_mass=frozen)
 
+    # Direction chunking (cfg.lin_chunk): both modes evaluate nd=nx+nu input
+    # directions per knot — fd as perturbed primals, ad as jvp tangents. At
+    # fleet scale the full-width batch is the HBM peak ([fleet, N, 70, ...]);
+    # lax.map over direction groups caps it at lin_chunk/nd of that while
+    # each group stays a huge parallel eval.
+    c = cfg.lin_chunk if (cfg.lin_chunk and cfg.lin_chunk < nd) else nd
+    pad = (-nd) % c
+    eye = jnp.eye(nd, dtype=xs.dtype)
+    if pad:
+        eye = jnp.concatenate([eye, jnp.zeros((pad, nd), xs.dtype)], axis=0)
+    eye_g = eye.reshape(-1, c, nd)  # (g, c, nd)
+
     if cfg.linearization == "fd":
         eps = jnp.asarray(cfg.fd_eps, xs.dtype)
-        eye = jnp.eye(nx + model.nu, dtype=xs.dtype)
 
         def AB(x, u):
             xu = jnp.concatenate([x, u])
             base = f(xu)
-            pert = jax.vmap(lambda e: f(xu + eps * e))(eye)  # (nx+nu, nx)
-            J = ((pert - base[None, :]) / eps).T
+            cols = lambda E: jax.vmap(lambda e: f(xu + eps * e))(E) - base[None, :]
+            pert = (cols(eye_g[0]) if eye_g.shape[0] == 1
+                    else jax.lax.map(cols, eye_g).reshape(-1, nx)[:nd])
+            J = (pert / eps).T
             return J[:, :nx], J[:, nx:]
 
     else:
 
         def AB(x, u):
-            # One jacfwd over the concatenated (x,u): a single 70-tangent batch
-            # through one step graph (the reference does 70 serial FD rollouts).
-            J = jax.jacfwd(f)(jnp.concatenate([x, u]))
+            # jvp tangents over the concatenated (x,u) — one batched tangent
+            # group per lax.map trip (the reference does 70 serial FD
+            # rollouts, robot_utils.cpp:137-156).
+            xu = jnp.concatenate([x, u])
+            cols = lambda E: jax.vmap(lambda e: jax.jvp(f, (xu,), (e,))[1])(E)
+            pert = (cols(eye_g[0]) if eye_g.shape[0] == 1
+                    else jax.lax.map(cols, eye_g).reshape(-1, nx)[:nd])
+            J = pert.T
             return J[:, :nx], J[:, nx:]
 
     return jax.vmap(AB)(xs[:-1], us)

@@ -107,3 +107,30 @@ def test_scan_outer_loop_matches_while():
     np.testing.assert_allclose(float(sol_s.cost), float(sol_w.cost), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(sol_s.ubar), np.asarray(sol_w.ubar), atol=1e-10)
     assert int(sol_s.iterations) == int(sol_w.iterations)
+
+
+def test_lin_chunk_matches_full_width():
+    """cfg.lin_chunk (direction-chunked linearize, the knob that fits a
+    fully-vmapped 1024-fleet solve in HBM) must be numerically identical to
+    the full-width batch in BOTH modes — it only reorders the lax.map/vmap
+    structure, never the math. Includes a non-dividing chunk (padding)."""
+    model = load_h1(gravity=(0, 0, -1.0), timestep=0.02, dtype=jnp.float64)
+    x0 = standing_state(model)
+    us = jnp.tile(engine.gravity_comp(model, x0)[None], (3, 1))
+    for mode, eps in (("ad", None), ("ad_frozen_mass", None), ("fd", 1e-6)):
+        cfg0 = ilqr.ILQRConfig(N=3, linearization=mode,
+                               **({"fd_eps": eps} if eps else {}))
+        xs = ilqr.rollout(model, cfg0, x0, us)
+        A0, B0 = ilqr.linearize(model, cfg0, xs, us)
+        for chunk in (10, 16):  # 16 does not divide nx+nu=70 -> padded
+            cfg = dataclasses.replace(cfg0, lin_chunk=chunk)
+            A, B = ilqr.linearize(model, cfg, xs, us)
+            # Identical math; only the vmap/lax.map batch structure differs.
+            # XLA reassociates reductions per batch shape, so f64 entries
+            # drift at ~1e-10 — and fd divides that eval noise by eps=1e-6,
+            # hence its looser pin.
+            tol = 1e-6 if mode == "fd" else 1e-8
+            np.testing.assert_allclose(np.asarray(A), np.asarray(A0),
+                                       atol=tol, err_msg=f"{mode}/{chunk}")
+            np.testing.assert_allclose(np.asarray(B), np.asarray(B0),
+                                       atol=tol, err_msg=f"{mode}/{chunk}")
