@@ -61,8 +61,6 @@ def run_mujoco_in_the_loop(prob, n_steps: int, x0=None, verbose: bool = False):
 
     Returns history dict with per-step state/control/cost.
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -80,14 +78,17 @@ def run_mujoco_in_the_loop(prob, n_steps: int, x0=None, verbose: bool = False):
     plant.set_state(x)
     substeps = max(1, round(app.mpc.dt / app.mpc.physics_dt))
 
-    step_once = jax.jit(functools.partial(controller.step_once, model, cp, cfg))
+    # model TRACED (not closed over): every contact-calibration / domain
+    # variant of the same robot shares ONE compiled graph (the
+    # tools/contact_sweep.py trick), and this loop hits the same cache entry.
+    step_once = jax.jit(lambda m, s, xx: controller.step_once(m, cp, cfg, refs, s, xx))
     state = controller.init_state(model, cfg)
     dtype = model.body_pos.dtype
 
     hist = {"x": [], "u": [], "cost": []}
     for i in range(n_steps):
         xj = jnp.asarray(x, dtype=dtype)
-        state, u, diag = jax.block_until_ready(step_once(refs, state, xj))
+        state, u, diag = jax.block_until_ready(step_once(model, state, xj))
         u_np = np.asarray(u, dtype=np.float64)
         if not np.isfinite(u_np).all():
             u_np = np.zeros_like(u_np)

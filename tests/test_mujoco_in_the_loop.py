@@ -59,3 +59,33 @@ def test_walking_on_mujoco_plant():
     assert z.min() > 1.0, f"base sagged to {z.min():.3f} walking on MuJoCo"
     assert np.abs(qw).min() > 0.99, "base tipped walking on MuJoCo"
     assert hist["cost"][-1] < hist["cost"][0]
+
+
+@pytest.mark.slow
+def test_walking_tracking_on_mujoco_plant_pinned():
+    """VERDICT r3 item 3 pin: the STOCK walking config (full N=25 horizon,
+    calibrated contact, config.yaml) tracks the walking gait on the REAL
+    MuJoCo plant (Newton/elliptic cone, robot_utils.cpp:588-592) for 100
+    steps — the friction-feasible window of the gait at the stock gravity
+    (beyond ~step 100 the reference demands |ax| up to 2.9 m/s^2 against a
+    mu*g = 1.0 m/s^2 cone; no controller can track that).
+
+    TPU measured 6.3 mm mean base-X error (tools/contact_sweep.py, round 3);
+    the pin allows 3x headroom for CPU-vs-TPU f32 divergence of the
+    closed-loop trajectory."""
+    app = load_config(os.path.join(ROOT, "config.yaml"))  # stock = walking
+    prob = runner.setup(app)
+
+    hist = run_mujoco_in_the_loop(prob, 100)
+    xs = np.stack(hist["x"])
+    assert np.isfinite(xs).all()
+    assert xs[-1, 2] > 0.9, f"fell: base z {xs[-1, 2]:.3f}"
+
+    q_ref = np.loadtxt(os.path.join(ROOT, "data", "q_ref2_mj.csv"), delimiter=",")
+    ref = q_ref[1 : len(xs) + 1]
+    x_mean = float(np.mean(np.abs(xs[:, 0] - ref[:, 0])))
+    y_mean = float(np.mean(np.abs(xs[:, 1] - ref[:, 1])))
+    z_mean = float(np.mean(np.abs(xs[:, 2] - ref[:, 2])))
+    assert x_mean < 0.020, f"base-X mean tracking error {x_mean*1e3:.1f} mm"
+    assert y_mean < 0.015, f"base-Y mean tracking error {y_mean*1e3:.1f} mm"
+    assert z_mean < 0.010, f"base-Z mean tracking error {z_mean*1e3:.1f} mm"
