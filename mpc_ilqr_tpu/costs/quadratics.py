@@ -26,12 +26,37 @@ class CostQuadratics(NamedTuple):
     luu: jnp.ndarray  # (N, nu, nu)
 
 
+def _hessian_chunked(f, n: int, chunk: int, dtype):
+    """jax.hessian(f) computed as jacfwd-of-grad in direction groups of
+    `chunk` via lax.map — same math, peak tangent memory scaled by chunk/n.
+    At fleet scale the full-width x-Hessian tangents ([fleet, N, 51, FK
+    internals]) are the residual HBM peak after lin_chunk (measured:
+    2 × 7.8 GB at fleet=1024); this is the same cure applied to the cost
+    side. chunk<=0 or chunk>=n returns plain jax.hessian."""
+    if chunk <= 0 or chunk >= n:
+        return jax.hessian(f)
+
+    pad = (-n) % chunk
+    eye = jnp.eye(n, dtype=dtype)
+    if pad:
+        eye = jnp.concatenate([eye, jnp.zeros((pad, n), dtype)], axis=0)
+    eye_g = eye.reshape(-1, chunk, n)
+
+    def hess(x, *args):
+        g = lambda xx: jax.grad(f)(xx, *args)
+        cols = lambda E: jax.vmap(lambda e: jax.jvp(g, (x,), (e,))[1])(E)
+        return jax.lax.map(cols, eye_g).reshape(-1, n)[:n]
+
+    return hess
+
+
 def quadraticize(
     model: RobotModel,
     cp: CostParams,
     win: ReferenceWindow,
     xbar: jnp.ndarray,
     ubar: jnp.ndarray,
+    hess_chunk: int = 0,
 ) -> CostQuadratics:
     N = ubar.shape[0]
 
@@ -47,10 +72,11 @@ def quadraticize(
         ) + terms.torque_limit_cost(model, cp, u)
 
     ts = jnp.arange(N)
+    nx = xbar.shape[-1]
     lx_s = jax.vmap(jax.grad(stage_x))(xbar[:N], ts)
-    lxx_s = jax.vmap(jax.hessian(stage_x))(xbar[:N], ts)
+    lxx_s = jax.vmap(_hessian_chunked(stage_x, nx, hess_chunk, xbar.dtype))(xbar[:N], ts)
     lu = jax.vmap(jax.grad(stage_u))(ubar, ts)
-    luu = jax.vmap(jax.hessian(stage_u))(ubar, ts)
+    luu = jax.vmap(jax.hessian(stage_u))(ubar, ts)  # nu=19: never the peak
 
     def term_x(x):
         return terms.terminal_cost_full(

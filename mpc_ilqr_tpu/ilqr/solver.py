@@ -116,6 +116,10 @@ class ILQRConfig:
     # is what lets a 1024-instance fleet solve run fully vmapped (the
     # full-width tangent tensor is [fleet, N, 70, ...] ~ 29 GB > HBM).
     lin_chunk: int = 0
+    # Same cure for the cost quadraticization's x-Hessian (51 jacfwd-of-grad
+    # directions; the residual fleet-scale HBM peak after lin_chunk —
+    # measured 2 x 7.8 GB at fleet=1024). 0 = plain jax.hessian.
+    hess_chunk: int = 0
 
 
 def vmap_safe(cfg: ILQRConfig) -> ILQRConfig:
@@ -493,7 +497,8 @@ def solve(
     def body(c: Carry, AB=None):
         xbar = c.xbar  # consistent nominal (see xbar_rolled note above)
         A, B = linearize(model, cfg, xbar, c.ubar) if AB is None else AB
-        quad = quadraticize(model, cp, win, xbar, c.ubar)
+        quad = quadraticize(model, cp, win, xbar, c.ubar,
+                            hess_chunk=cfg.hess_chunk)
         baseline = trajectory_cost(model, cp, win, xbar, c.ubar, mode=cfg.cost_mode)
 
         class Att(NamedTuple):

@@ -169,3 +169,30 @@ def test_tangent_quat_mode(setup):
     x_t = x.at[3].set(np.cos(th / 2)).at[4].set(np.sin(th / 2))
     c = float(terms.tracking_cost(cp_tan, x_t, x, model=model))
     np.testing.assert_allclose(c, 0.5 * 50.0 * th**2, rtol=1e-4)
+
+
+def test_hess_chunk_matches_full_width(setup):
+    """quadraticize(hess_chunk=k) (direction-chunked x-Hessian — the knob
+    that removes the residual fleet-scale HBM peak) must equal the plain
+    jax.hessian path; only the vmap/lax.map structure differs. Includes a
+    non-dividing chunk (padding)."""
+    model, cp, _ = setup
+    N = 2
+    x0 = standing_state(model)
+    xs = jnp.stack([x0, x0 + 0.01, x0 - 0.005])
+    us = jnp.asarray(RNG.normal(0, 1.0, (N, model.nu)))
+    win = ReferenceWindow(
+        x=jnp.stack([x0, x0, x0]),
+        u=jnp.zeros((N, model.nu), jnp.float64),
+        com=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (N + 1, 1)),
+        com_vel=jnp.zeros((N + 1, 3), jnp.float64),
+        ee_pos=jnp.zeros((N + 1, 2, 3), jnp.float64),
+        stance=jnp.ones((N + 1, 2), jnp.float64),
+    )
+    q0 = quadraticize(model, cp, win, xs, us)
+    for chunk in (10, 16):  # 16 does not divide nx=51 -> padded
+        q = quadraticize(model, cp, win, xs, us, hess_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(q.lxx), np.asarray(q0.lxx),
+                                   atol=1e-9, err_msg=f"chunk={chunk}")
+        np.testing.assert_allclose(np.asarray(q.lx), np.asarray(q0.lx), atol=0)
+        np.testing.assert_allclose(np.asarray(q.luu), np.asarray(q0.luu), atol=0)

@@ -170,6 +170,10 @@ def bench_long_horizon(args):
             prob.cfg, max_iterations=2, inner_attempts=1, linearize_every=2,
             outer_loop="scan",
         ))
+    if args.lh_backward != "scan":
+        tag += f"_{args.lh_backward}"
+        prob = prob._replace(cfg=dataclasses.replace(
+            prob.cfg, backward=args.lh_backward))
     ms, compile_s, hist, xf = _timed_loop(prob, max(4, args.steps // 3), reps=2)
     _emit(f"long_horizon_N100_ms_per_step{tag}", ms, "ms", REFERENCE_MS / ms,
           compile_s=compile_s, base_z=float(xf[2]),
@@ -197,6 +201,7 @@ def bench_fleet(args):
         inner_attempts=args.fleet_attempts,
         linearize_every=args.fleet_linevery,
         lin_chunk=args.fleet_linchunk,
+        hess_chunk=args.fleet_hesschunk,
     )
     if args.fleet_lin:
         overrides["linearization"] = args.fleet_lin
@@ -220,7 +225,9 @@ def bench_fleet(args):
     inst_steps_per_s = n / dt
     _emit("fleet_mpc_instance_steps_per_s", inst_steps_per_s, "steps/s",
           inst_steps_per_s / (1000.0 / REFERENCE_MS), compile_s=compile_s,
-          fleet=n, ok=int(np.sum(np.asarray(diag.solve_ok))))
+          fleet=n, ok=int(np.sum(np.asarray(diag.solve_ok))),
+          mean_cost=float(np.mean(np.asarray(diag.cost))),
+          max_cost=float(np.max(np.asarray(diag.cost))))
 
 
 def _emit(metric, value, unit, vs_baseline, **extra):
@@ -259,6 +266,15 @@ def main():
                     help="linearize direction-chunk size (lax.map groups); "
                          "caps the tangent-tensor HBM peak so the whole "
                          "fleet can run as ONE vmapped solve (--chunk 1024)")
+    ap.add_argument("--fleet-hesschunk", type=int, default=0,
+                    help="cost x-Hessian direction-chunk size (see "
+                         "--fleet-linchunk; the residual HBM peak at "
+                         "fleet=1024 is the 51-direction Hessian)")
+    ap.add_argument("--lh-backward", default="scan",
+                    choices=["scan", "pallas", "assoc"],
+                    help="long_horizon Riccati backward variant: serial "
+                         "lax.scan, one-launch pallas kernel, or the "
+                         "associative parallel scan (depth log N)")
     ap.add_argument("--lh-tuned", action="store_true",
                     help="long_horizon with the deployment-tuned solver "
                          "knobs (max_iterations=2, inner_attempts=1, "
