@@ -50,6 +50,12 @@ from mpc_ilqr_tpu.ops.quat_step import (
     plan_with_arrays,
     step_mosaic,
 )
+from mpc_ilqr_tpu.ops.quat_step_batch import (
+    batch_plan_arrays,
+    batch_plan_with_arrays,
+    build_batch_plan,
+    step_mosaic_batch,
+)
 
 
 def rollout_pallas(model: RobotModel, plan: StepPlan, x0: jnp.ndarray,
@@ -197,3 +203,112 @@ def linesearch_rollout_pallas(model: RobotModel, plan: StepPlan, x0: jnp.ndarray
         *model_in, *plan_in,
     )
     return xs, us_out
+
+
+def linesearch_rollout_pallas_batched(
+    model: RobotModel, plan: StepPlan, x0: jnp.ndarray,
+    xbar: jnp.ndarray, ubar: jnp.ndarray,
+    K: jnp.ndarray, kff: jnp.ndarray,
+    alphas: jnp.ndarray, n_substeps: int = 1,
+    interpret: bool = False,
+):
+    """ALL alphas' closed-loop rollouts in ONE program — no grid.
+
+    The grid variant above runs one program per alpha, and TPU grid steps
+    SERIALIZE on a core: the 8-alpha search costs 8·N sequential dynamics
+    steps. Here the alphas ride the sublane axis of a batched step
+    (ops/quat_step_batch.step_mosaic_batch), so the serial chain is N steps
+    total and each step's algebra feeds the MXU with A-fold folded matmuls:
+        u_t^a = ū_t + α_a k_t + K_t (x_t^a − x̄_t)     (ilqr.cpp:334-336)
+        x^a_{t+1} = f(x^a_t, u^a_t)
+    Output layout is time-major ((N+1, A, nx) / (N, A, nu)) because Mosaic
+    only supports dynamic stores on the LEADING axis; the caller transposes
+    outside the kernel (one XLA copy).
+
+    Returns xs (A, N+1, nx), us (A, N, nu), float32.
+    """
+    A = alphas.shape[0]
+    N = ubar.shape[0]
+    nx, nu = model.nx, model.nu
+    f32 = jnp.float32
+    bplan = build_batch_plan(plan, A)
+
+    model_leaves, model_def = jax.tree.flatten(model)
+    parr_leaves, parr_def = jax.tree.flatten(plan_arrays(plan))
+    barr_leaves, barr_def = jax.tree.flatten(batch_plan_arrays(bplan))
+    shapes0 = [jnp.ndim(l) == 0 for l in model_leaves]
+
+    def prep(leaves):
+        """Lift scalars to (1,); hold back zero-size arrays (contactless
+        models): Pallas rejects empty inputs, and the step never reads them
+        (`if ncp:` guards) — they are rebuilt as zeros in-kernel."""
+        arrs = [jnp.atleast_1d(jnp.asarray(l, f32)) for l in leaves]
+        keep = [a.size > 0 for a in arrs]
+        sent = [a for a, k in zip(arrs, keep) if k]
+
+        def restore(vals):
+            it = iter(vals)
+            return [next(it) if k else jnp.zeros(a.shape, f32)
+                    for a, k in zip(arrs, keep)]
+
+        return sent, restore
+
+    model_in, model_restore = prep(model_leaves)
+    plan_in, plan_restore = prep(parr_leaves)
+    bplan_in, bplan_restore = prep(barr_leaves)
+    n_model, n_plan = len(model_in), len(plan_in)
+
+    def kernel(*refs):
+        (al_ref, x0_ref, xb_ref, ub_ref, K_ref, kff_ref) = refs[:6]
+        mrefs = refs[6 : 6 + n_model]
+        prefs = refs[6 + n_model : 6 + n_model + n_plan]
+        brefs = refs[6 + n_model + n_plan : -2]
+        xs_ref, us_ref = refs[-2], refs[-1]
+
+        mvals = model_restore([r[...] for r in mrefs])
+        mvals = [v[0] if was0 else v for v, was0 in zip(mvals, shapes0)]
+        kmodel = jax.tree.unflatten(model_def, mvals)
+        kplan = plan_with_arrays(
+            plan, jax.tree.unflatten(parr_def, plan_restore([r[...] for r in prefs]))
+        )
+        kbplan = batch_plan_with_arrays(
+            bplan, jax.tree.unflatten(barr_def, bplan_restore([r[...] for r in brefs]))
+        )
+
+        al = al_ref[...]  # (A, 1) per-alpha column
+        x_init = jnp.broadcast_to(x0_ref[...], (A, nx))
+        xs_ref[0] = x_init
+
+        def body(t, x):
+            dx = x - xb_ref[t][None, :]
+            u = (
+                ub_ref[t][None, :]
+                + al * kff_ref[t][None, :]
+                + jnp.matmul(dx, K_ref[t].T, precision=jax.lax.Precision.HIGHEST)
+            )  # (A, nu)
+            us_ref[t] = u
+            xn = step_mosaic_batch(kmodel, kplan, kbplan, x, u, n_substeps)
+            xs_ref[t + 1] = xn
+            return xn
+
+        jax.lax.fori_loop(0, N, body, x_init)
+
+    n_in = 6 + n_model + n_plan + len(bplan_in)
+    xs_tm, us_tm = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((N + 1, A, nx), f32),
+            jax.ShapeDtypeStruct((N, A, nu), f32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        alphas.astype(f32)[:, None], x0.astype(f32)[None], xbar.astype(f32),
+        ubar.astype(f32), K.astype(f32), kff.astype(f32),
+        *model_in, *plan_in, *bplan_in,
+    )
+    return jnp.transpose(xs_tm, (1, 0, 2)), jnp.transpose(us_tm, (1, 0, 2))

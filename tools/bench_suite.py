@@ -90,18 +90,28 @@ def _timed_loop(prob, n_steps, reps=3):
     return ms_per_step, compile_s, hist, xf
 
 
+def _ls_overrides(args):
+    """--ls-backend: route the line search through a specific backend
+    (notably 'pallas_batched': all alphas in ONE kernel program)."""
+    return {"ls_backend": args.ls_backend} if args.ls_backend else {}
+
+
 def bench_standing(args):
-    prob = _setup(standing=True)
+    prob = _setup(standing=True, **_ls_overrides(args))
     ms, compile_s, hist, xf = _timed_loop(prob, args.steps)
     tag = "_parity" if _PARITY else ""
+    if args.ls_backend:
+        tag += f"_ls_{args.ls_backend}"
     _emit(f"standing_mpc_ms_per_step{tag}", ms, "ms", REFERENCE_MS / ms,
           compile_s=compile_s, final_cost=float(hist["cost"][-1]), base_z=float(xf[2]))
 
 
 def bench_walking(args):
-    prob = _setup(standing=False)
+    prob = _setup(standing=False, **_ls_overrides(args))
     ms, compile_s, hist, xf = _timed_loop(prob, args.steps)
     tag = "_parity" if _PARITY else ""
+    if args.ls_backend:
+        tag += f"_ls_{args.ls_backend}"
     _emit(f"walking_mpc_ms_per_step{tag}", ms, "ms", REFERENCE_MS / ms,
           compile_s=compile_s, final_cost=float(hist["cost"][-1]), base_z=float(xf[2]))
 
@@ -174,6 +184,10 @@ def bench_long_horizon(args):
         tag += f"_{args.lh_backward}"
         prob = prob._replace(cfg=dataclasses.replace(
             prob.cfg, backward=args.lh_backward))
+    if args.ls_backend:
+        tag += f"_ls_{args.ls_backend}"
+        prob = prob._replace(cfg=dataclasses.replace(
+            prob.cfg, ls_backend=args.ls_backend))
     ms, compile_s, hist, xf = _timed_loop(prob, max(4, args.steps // 3), reps=2)
     _emit(f"long_horizon_N100_ms_per_step{tag}", ms, "ms", REFERENCE_MS / ms,
           compile_s=compile_s, base_z=float(xf[2]),
@@ -284,6 +298,11 @@ def main():
                     help="fleet linearization variant override; fd has no "
                          "jacfwd tangent tensors (plain batched primal step "
                          "evals), so much larger --chunk values fit in HBM")
+    ap.add_argument("--ls-backend", default=None,
+                    choices=["xla", "pallas", "pallas_batched"],
+                    help="override ILQRConfig.ls_backend for standing/"
+                    "walking/long_horizon (pallas_batched = all alphas in "
+                    "one kernel program, ops/quat_step_batch.py)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--parity", action="store_true",
                     help="reference solver settings: tol 1e-4, 10 iterations "
