@@ -203,32 +203,46 @@ def _body_accelerations(model: RobotModel, fr: KinFrames, v: jnp.ndarray, omega,
     return alpha, a_c
 
 
-def _dynamics_terms(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray):
-    """One fused pass: frames, M(q), bias(q,v). FK runs once; the Coriolis
-    accelerations come from the analytic level-batched RNEA recursion."""
+def _frames_and_jacs(model: RobotModel, q: jnp.ndarray):
+    """The q-only kinematic pass shared by M, bias, and contact geometry."""
     fr = forward_kinematics(model, q)
     pc = body_com_positions(model, fr)
     Jv, Jw = body_jacobians(model, fr, pc)
-    Jw_f = _flat(Jw)  # (B*3, nv)
-    Jv_f = _flat(Jv)
-    omega = _mm(Jw_f, v).reshape(-1, 3)
+    return fr, pc, _flat(Jv), Jw  # Jw kept (B,3,nv) for the congruence form
 
-    alpha, acc_c = _body_accelerations(model, fr, v, omega, pc)
 
-    # M_rot = Jwᵀ Iw Jw = Gᵀ diag(I) G with G = Rinᵀ Jw — the congruence form
-    # keeps every intermediate (B,3,nv)-shaped (lane dim nv) and lowers to
-    # two MXU matmuls via _flat; no (B,3,3) world-inertia tensor exists.
+def _mass_from(model: RobotModel, fr: KinFrames, Jv_f: jnp.ndarray, Jw: jnp.ndarray):
+    """M(q) from precomputed Jacobians.
+
+    M_rot = Jwᵀ Iw Jw = Gᵀ diag(I) G with G = Rinᵀ Jw — the congruence form
+    keeps every intermediate (B,3,nv)-shaped (lane dim nv) and lowers to
+    two MXU matmuls via _flat; no (B,3,3) world-inertia tensor exists."""
     G = _principal_rotate(model, fr, Jw, transpose=True)  # (B,3,nv)
     Gd = model.body_inertia[:, :, None] * G
     mass3 = jnp.repeat(model.body_mass, 3)[:, None]
     M = _mm(Jv_f.T, Jv_f * mass3) + _mm(_flat(G).T, _flat(Gd))
-    M = M + jnp.diag(model.dof_armature)
+    return M + jnp.diag(model.dof_armature)
 
+
+def _bias_given(model: RobotModel, fr: KinFrames, pc, Jv_f, Jw_f, v: jnp.ndarray):
+    """bias(q, v) with the q-only kinematics precomputed — the v-tangent
+    path of the structured linearization runs ONLY through this function
+    (and the stiction viscosity), never through FK/M."""
+    omega = _mm(Jw_f, v).reshape(-1, 3)
+    alpha, acc_c = _body_accelerations(model, fr, v, omega, pc)
     f = model.body_mass[:, None] * (acc_c - model.gravity[None, :])  # (B,3)
     n = _apply_world_inertia(model, fr, alpha) + jnp.cross(
         omega, _apply_world_inertia(model, fr, omega)
     )
-    bias = _mm(Jv_f.T, f.reshape(-1)) + _mm(Jw_f.T, n.reshape(-1))
+    return _mm(Jv_f.T, f.reshape(-1)) + _mm(Jw_f.T, n.reshape(-1))
+
+
+def _dynamics_terms(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray):
+    """One fused pass: frames, M(q), bias(q,v). FK runs once; the Coriolis
+    accelerations come from the analytic level-batched RNEA recursion."""
+    fr, pc, Jv_f, Jw = _frames_and_jacs(model, q)
+    M = _mass_from(model, fr, Jv_f, Jw)
+    bias = _bias_given(model, fr, pc, Jv_f, _flat(Jw), v)
     return fr, M, bias
 
 
@@ -267,8 +281,18 @@ def contact_terms(model: RobotModel, fr: KinFrames, v: jnp.ndarray, h):
     if model.ncp == 0:
         z = jnp.zeros((0, 3), v.dtype)
         return jnp.zeros((0, 3, model.nv), v.dtype), z, z, z
+    Jp, f_el, fn_el, active, pw = contact_geometry(model, fr)
+    c_diag = contact_cdiag(model, _flat(Jp), fn_el, active, v, h)
+    return Jp, f_el, c_diag, pw
+
+
+def contact_geometry(model: RobotModel, fr: KinFrames):
+    """The q-only half of contact_terms: point placement, Jacobians, the
+    elastic normal force. Returns (Jp (ncp,3,nv), f_el (ncp,3), fn_el (ncp,),
+    active (ncp,), pw (ncp,3))."""
     import numpy as np
 
+    dtype = fr.p.dtype
     bidx = np.asarray(model.cp_body_idx)
     pw = fr.p[jnp.asarray(bidx)] + _ei("cij,cj->ci", fr.R[jnp.asarray(bidx)], model.cp_pos)
 
@@ -276,14 +300,21 @@ def contact_terms(model: RobotModel, fr: KinFrames, v: jnp.ndarray, h):
 
     Jp = point_jacobians(model, fr, bidx, pw)  # (ncp, 3, nv)
 
-    vel = _mm(_flat(Jp), v).reshape(-1, 3)  # current contact-point velocity
     # Penetration of the point's surface sphere (radius 0 for mesh vertices)
     # into the z=0 ground plane.
     depth = model.cp_radius - pw[:, 2]
-    active = jnp.where(depth > 0.0, 1.0, 0.0).astype(v.dtype)
+    active = jnp.where(depth > 0.0, 1.0, 0.0).astype(dtype)
     fn_el = model.contact_stiffness * depth * active
-    f_el = jnp.concatenate([jnp.zeros_like(vel[:, :2]), fn_el[:, None]], axis=-1)
+    f_el = jnp.concatenate(
+        [jnp.zeros((fn_el.shape[0], 2), dtype), fn_el[:, None]], axis=-1
+    )
+    return Jp, f_el, fn_el, active, pw
 
+
+def contact_cdiag(model: RobotModel, Jp_f, fn_el, active, v: jnp.ndarray, h):
+    """The v-dependent half of contact_terms: the implicit damping diagonal.
+    The structured linearization's v-tangents enter contact ONLY here."""
+    vel = _mm(Jp_f, v).reshape(-1, 3)  # current contact-point velocity
     # Implicit damping coefficients (world frame; plane normal = z).
     # contact_impratio is MuJoCo's frictional-to-normal impedance ratio
     # (opt.impratio; the reference sets 100, robot_utils.cpp:58-63): it
@@ -297,8 +328,7 @@ def contact_terms(model: RobotModel, fr: KinFrames, v: jnp.ndarray, h):
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + eps)
     ct = model.contact_friction * fn_el / vt_norm  # stiction-like viscous
     cn = model.contact_damping + h * model.contact_stiffness
-    c_diag = jnp.stack([ct, ct, jnp.broadcast_to(cn, ct.shape)], axis=-1) * active[:, None]
-    return Jp, f_el, c_diag, pw
+    return jnp.stack([ct, ct, jnp.broadcast_to(cn, ct.shape)], axis=-1) * active[:, None]
 
 
 def contact_forces(model: RobotModel, x: jnp.ndarray):
@@ -391,6 +421,121 @@ def step(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray, n_substeps: int = 1,
         return substep(x, None)[0]
     out, _ = jax.lax.scan(substep, x, None, length=n_substeps)
     return out
+
+
+def _actuation_matrix(model: RobotModel, dtype) -> jnp.ndarray:
+    """S = ∂tau/∂u (nv, nu): the constant actuator scatter of applied_torques."""
+    import numpy as np
+
+    S = np.zeros((model.nv, model.nu))
+    for j, d in enumerate(model.act_dof_adr):
+        S[d, j] += 1.0
+    return jnp.asarray(S, dtype) * model.act_gear[None, :].astype(dtype)
+
+
+def step_and_jac(model: RobotModel, x: jnp.ndarray, u: jnp.ndarray,
+                 n_substeps: int = 1, frozen_mass: bool = False,
+                 q_chunk: int = 0):
+    """(x_next, A, B): exact step Jacobians, factored by input block.
+
+    Same values as jacfwd(step) — the chain rule is just regrouped around
+    the substep's structure  (M + hD + hJᵀCJ) v' = Mv + h(τ + Jᵀf_el − bias),
+    q' = integrate(q, v'):
+
+      - u-block (nu dirs): τ is LINEAR in u (constant scatter S) and the lhs
+        is u-independent → ∂v'/∂u = h·L⁻¹S, one extra cho_solve RHS batch.
+        No tangents at all.
+      - v-block (nv dirs): FK, M(q), and the contact geometry are
+        v-independent → per-direction tangents run only through the RNEA
+        bias and the stiction viscosity c(v); all nv right-hand sides share
+        the ONE factorization of L.
+      - q-block (nq dirs): full jvp through the substep (the FK chain has no
+        cheap factorization), frozen_mass honored as in step().
+
+    jacfwd(step) pushes nx+nu=70 tangent copies of every intermediate
+    through the whole step; this pushes nq=26 — the fleet-scale linearize
+    was HBM-bound on exactly those [fleet, N, 70, ...] tangent layouts.
+    q_chunk (cfg.lin_chunk) additionally lax.map's the q-block directions in
+    groups, capping the peak at q_chunk/nq of the full sweep.
+    """
+    h = model.timestep / n_substeps
+    nq, nv, nx, nu = model.nq, model.nv, model.nx, model.nu
+    dtype = x.dtype
+    S = _actuation_matrix(model, dtype)
+    I_v = jnp.eye(nv, dtype=dtype)
+    E_q = jnp.eye(nx, dtype=dtype)[:nq]
+
+    def sub_jac(x):
+        xn = normalize_state(model, x)
+        q, v = model.split_state(xn)
+        # --- primal (identical ops to step()'s substep; XLA CSEs the copy
+        # the q-block jvp traces below)
+        fr, pc, Jv_f, Jw = _frames_and_jacs(model, q)
+        M = _mass_from(model, fr, Jv_f, Jw)
+        Jw_f = _flat(Jw)
+        bias = _bias_given(model, fr, pc, Jv_f, Jw_f, v)
+        tau = applied_torques(model, u)
+        lhs = M + h * jnp.diag(model.dof_damping)
+        if model.ncp:
+            Jp, f_el, fn_el, active, _ = contact_geometry(model, fr)
+            Jp_f = _flat(Jp)
+            c_diag = contact_cdiag(model, Jp_f, fn_el, active, v, h)
+            lhs = lhs + h * _mm(Jp_f.T, Jp_f * c_diag.reshape(-1)[:, None])
+            tau = tau + _mm(Jp_f.T, f_el.reshape(-1))
+        rhs = jnp.matmul(M, v, precision=HIGHEST) + h * (tau - bias)
+        factor = jax.scipy.linalg.cho_factor(lhs)
+        v_next = jax.scipy.linalg.cho_solve(factor, rhs)
+        q_next = integrate_position(model, q, v_next, h)
+        x_next = jnp.concatenate([q_next, v_next])
+
+        # --- u-block: δv' = h L⁻¹ S (analytic)
+        dv_u = h * jax.scipy.linalg.cho_solve(factor, S)
+
+        # --- v-block: δr = M δv − h δbias, δL v' = h Jᵀ(δc ⊙ Jv')
+        def bias_c(v_):
+            b = _bias_given(model, fr, pc, Jv_f, Jw_f, v_)
+            c = (contact_cdiag(model, Jp_f, fn_el, active, v_, h)
+                 if model.ncp else jnp.zeros((0, 3), dtype))
+            return b, c
+
+        db, dc = jax.vmap(lambda e: jax.jvp(bias_c, (v,), (e,))[1])(I_v)
+        R_v = M.T - h * db  # rows = directions (M symmetric; .T for exactness)
+        if model.ncp:
+            w = _mm(Jp_f, v_next)  # (ncp*3,)
+            R_v = R_v - h * _mm(dc.reshape(nv, -1) * w[None, :], Jp_f)
+        dv_v = jax.scipy.linalg.cho_solve(factor, R_v.T)  # (nv, nv) cols=dirs
+
+        # --- q-block: full jvp, nq directions (frozen_mass as in step()).
+        # step() derives h from model.timestep/n_substeps, so hand it a
+        # substep-scaled model (timestep is a static field; one trace).
+        m_sub = model if n_substeps == 1 else model.replace(timestep=h)
+        f_q = lambda x_: step(m_sub, x_, u, 1, "chol", frozen_mass)
+        cols = lambda E: jax.vmap(lambda e: jax.jvp(f_q, (x,), (e,))[1])(E)
+        c = q_chunk if (q_chunk and q_chunk < nq) else nq
+        if c == nq:
+            dq_full = cols(E_q)
+        else:
+            pad = (-nq) % c
+            E_p = jnp.concatenate([E_q, jnp.zeros((pad, nx), dtype)], axis=0)
+            dq_full = jax.lax.map(cols, E_p.reshape(-1, c, nx)).reshape(-1, nx)[:nq]
+
+        # --- integration block: ∂q'/∂v' (the q-rows of the v/u columns)
+        g = lambda w_: integrate_position(model, q, w_, h)
+        Gv = jax.vmap(lambda e: jax.jvp(g, (v_next,), (e,))[1])(I_v)  # (nv, nq)
+
+        A = jnp.zeros((nx, nx), dtype)
+        A = A.at[:, :nq].set(dq_full.T)
+        A = A.at[:nq, nq:].set(_mm(Gv.T, dv_v))
+        A = A.at[nq:, nq:].set(dv_v)
+        B = jnp.concatenate([_mm(Gv.T, dv_u), dv_u], axis=0)
+        return x_next, A, B
+
+    x_k, A, B = sub_jac(x)
+    for _ in range(n_substeps - 1):  # compose: A←A_k A, B←A_k B + B_k
+        x_k, A_k, B_k = sub_jac(x_k)
+        A = _mm(A_k, A)
+        B = _mm(A_k, B) + B_k
+    return x_k, A, B
 
 
 def gravity_comp(model: RobotModel, x: jnp.ndarray) -> jnp.ndarray:

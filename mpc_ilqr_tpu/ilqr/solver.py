@@ -62,7 +62,11 @@ class ILQRConfig:
     # robot_utils.cpp:120-160 recipe) | "ad_frozen_mass" (jacfwd with zero
     # tangents through the inertia assembly M(q) — the standard DDP
     # approximation; removes the GB-scale jvp tensor that dominates
-    # fleet-scale linearize, see engine.step frozen_mass)
+    # fleet-scale linearize, see engine.step frozen_mass) | "structured"
+    # (engine.step_and_jac: the same chain rule regrouped by the substep's
+    # block structure — analytic u-block, bias/viscosity-only v-block
+    # tangents, full jvp for the nq q-block only; exact, ~nq/(nx+nu) of
+    # jacfwd's tangent traffic) | "structured_frozen_mass" (both).
     linearization: str = "ad"
     # Outer-iteration control flow. "while" exits early on convergence (best
     # for a single latency-bound solve). "scan" runs exactly max_iterations
@@ -189,7 +193,21 @@ def linearize(model: RobotModel, cfg: ILQRConfig, xs: jnp.ndarray, us: jnp.ndarr
     """
     nx = model.nx
     nd = nx + model.nu
-    frozen = cfg.linearization == "ad_frozen_mass"
+    frozen = cfg.linearization in ("ad_frozen_mass", "structured_frozen_mass")
+
+    if cfg.linearization.startswith("structured"):
+        # Block-structured exact Jacobians (engine.step_and_jac): analytic
+        # u-block, bias/viscosity-only v-block tangents, full jvp for the
+        # nq q-block only — ~nq/(nx+nu) of jacfwd's tangent HBM traffic.
+        # cfg.lin_chunk chunks the q-block directions.
+        def AB_structured(x, u):
+            _, A, B = engine.step_and_jac(
+                model, x, u, cfg.n_substeps, frozen_mass=frozen,
+                q_chunk=cfg.lin_chunk,
+            )
+            return A, B
+
+        return jax.vmap(AB_structured)(xs[:-1], us)
 
     def f(xu):
         return engine.step(model, xu[:nx], xu[nx:], cfg.n_substeps, frozen_mass=frozen)

@@ -134,3 +134,75 @@ def test_lin_chunk_matches_full_width():
                                        atol=tol, err_msg=f"{mode}/{chunk}")
             np.testing.assert_allclose(np.asarray(B), np.asarray(B0),
                                        atol=tol, err_msg=f"{mode}/{chunk}")
+
+
+def _structured_vs_ad(model, x0, us, n_substeps=1, atol=1e-10):
+    cfg = ilqr.ILQRConfig(N=us.shape[0], linearization="ad", n_substeps=n_substeps)
+    xs = ilqr.rollout(model, cfg, x0, us)
+    A0, B0 = ilqr.linearize(model, cfg, xs, us)
+    cfg_s = dataclasses.replace(cfg, linearization="structured")
+    A1, B1 = ilqr.linearize(model, cfg_s, xs, us)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A0), atol=atol)
+    np.testing.assert_allclose(np.asarray(B1), np.asarray(B0), atol=atol)
+    return xs, cfg
+
+
+def test_structured_linearization_exact_h1():
+    """linearization="structured" (engine.step_and_jac: analytic u-block,
+    bias/viscosity-only v-block tangents against one shared factorization,
+    full jvp for the nq q-block only) is the SAME chain rule regrouped by
+    the substep's block structure — must match "ad" to machine epsilon,
+    at a state with active contact AND nonzero velocity."""
+    model = load_h1(gravity=(0, 0, -1.0), timestep=0.02, dtype=jnp.float64)
+    x0 = standing_state(model) + 0.01 * jnp.sin(jnp.arange(model.nx) * 0.7)
+    us = jnp.tile(engine.gravity_comp(model, standing_state(model))[None], (3, 1)) + 0.5
+    xs, cfg = _structured_vs_ad(model, x0, us)
+
+    # frozen-mass variant: must match ad_frozen_mass exactly (the frozen
+    # q-block is the ONLY place dM/dq ever entered).
+    cfg_f = dataclasses.replace(cfg, linearization="ad_frozen_mass")
+    cfg_sf = dataclasses.replace(cfg, linearization="structured_frozen_mass")
+    A_f, B_f = ilqr.linearize(model, cfg_f, xs, us)
+    A_sf, B_sf = ilqr.linearize(model, cfg_sf, xs, us)
+    np.testing.assert_allclose(np.asarray(A_sf), np.asarray(A_f), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(B_sf), np.asarray(B_f), atol=1e-10)
+
+    # q-block direction chunking (cfg.lin_chunk; 7 does not divide nq=26).
+    cfg_c = dataclasses.replace(cfg, linearization="structured", lin_chunk=7)
+    A_c, B_c = ilqr.linearize(model, cfg_c, xs, us)
+    A_s, _ = ilqr.linearize(model, dataclasses.replace(cfg, linearization="structured"), xs, us)
+    np.testing.assert_allclose(np.asarray(A_c), np.asarray(A_s), atol=1e-8)
+
+
+def test_structured_linearization_substeps():
+    """n_substeps>1 composes per-substep Jacobians (A←A_k A, B←A_k B + B_k)
+    with the substep-scaled h everywhere, including inside the q-block jvp."""
+    model = load_h1(gravity=(0, 0, -9.81), timestep=0.02, dtype=jnp.float64)
+    x0 = standing_state(model) + 0.01 * jnp.sin(jnp.arange(model.nx) * 0.7)
+    us = jnp.tile(engine.gravity_comp(model, standing_state(model))[None], (2, 1))
+    # Stiff contact at physical gravity: |A| entries reach ~1e1, and the
+    # two-substep product squares the conditioning — pin absolute 1e-9
+    # relative to that scale via a scaled comparison.
+    cfg = ilqr.ILQRConfig(N=2, linearization="ad", n_substeps=2)
+    xs = ilqr.rollout(model, cfg, x0, us)
+    A0, B0 = ilqr.linearize(model, cfg, xs, us)
+    cfg_s = dataclasses.replace(cfg, linearization="structured")
+    A1, B1 = ilqr.linearize(model, cfg_s, xs, us)
+    scale = float(jnp.abs(A0).max())
+    np.testing.assert_allclose(np.asarray(A1) / scale, np.asarray(A0) / scale, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(B1), np.asarray(B0), atol=1e-12)
+
+
+def test_structured_linearization_generality_models(tmp_path):
+    """Structured mode is model-generic: slide (cartpole, ncp=0 fixed base)
+    and ball-joint chains go through the same block math."""
+    from mpc_ilqr_tpu.models.robot import load_robot
+    from tests.test_model_generality import BALL_CHAIN_XML, CARTPOLE_XML
+
+    for name, xml in (("cartpole.xml", CARTPOLE_XML), ("chain.xml", BALL_CHAIN_XML)):
+        p = tmp_path / name
+        p.write_text(xml)
+        model = load_robot(str(p), dtype=jnp.float64)
+        x0 = jnp.asarray(0.05 * np.sin(np.arange(model.nx) * 1.3), jnp.float64)
+        us = jnp.asarray(0.1 * np.ones((2, model.nu)), jnp.float64)
+        _structured_vs_ad(model, x0, us)

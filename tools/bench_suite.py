@@ -294,7 +294,8 @@ def main():
                          "knobs (max_iterations=2, inner_attempts=1, "
                          "linearize_every=2) instead of config.yaml's")
     ap.add_argument("--fleet-lin", default=None,
-                    choices=["ad", "ad_frozen_mass", "fd"],
+                    choices=["ad", "ad_frozen_mass", "fd",
+                             "structured", "structured_frozen_mass"],
                     help="fleet linearization variant override; fd has no "
                          "jacfwd tangent tensors (plain batched primal step "
                          "evals), so much larger --chunk values fit in HBM")

@@ -55,7 +55,8 @@ def main():
                     choices=["linearize", "quadraticize", "backward", "rollout",
                              "linesearch", "step"])
     ap.add_argument("--variant", default="ad_frozen_mass",
-                    choices=["ad", "ad_frozen_mass", "fd"])
+                    choices=["ad", "ad_frozen_mass", "fd",
+                             "structured", "structured_frozen_mass"])
     ap.add_argument("--accuracy", action="store_true")
     args = ap.parse_args()
     if args.cpu:

@@ -32,6 +32,10 @@ VARIANTS = {
     "pallas": {"backward": "pallas"},
     "pallas_unroll4": {"backward": "pallas", "scan_unroll": 4},
     "argmin_full": {"line_search": "argmin", "cost_mode": "full"},
+    # Block-structured exact linearize (engine.step_and_jac) vs the shipped
+    # frozen-mass jacfwd: same flagship config otherwise.
+    "structured": {"linearization": "structured_frozen_mass"},
+    "structured_exact": {"linearization": "structured"},
 }
 
 
