@@ -57,7 +57,10 @@ def quadraticize(
     xbar: jnp.ndarray,
     ubar: jnp.ndarray,
     hess_chunk: int = 0,
+    hess_mode: str = "exact",
 ) -> CostQuadratics:
+    if hess_mode == "gn":
+        return _quadraticize_gn(model, cp, win, xbar, ubar)
     N = ubar.shape[0]
 
     def stage_x(x, t):
@@ -85,6 +88,69 @@ def quadraticize(
 
     lx_N = jax.grad(term_x)(xbar[N])
     lxx_N = jax.hessian(term_x)(xbar[N])
+
+    lx = jnp.concatenate([lx_s, lx_N[None]], axis=0)
+    lxx = jnp.concatenate([lxx_s, lxx_N[None]], axis=0)
+    return CostQuadratics(lx=lx, lu=lu, lxx=lxx, luu=luu)
+
+
+def _quadraticize_gn(model, cp, win, xbar, ubar) -> CostQuadratics:
+    """Gauss-Newton quadraticization (hess_mode="gn").
+
+    The stage cost splits into a LIGHT part (tracking + soft limits — no
+    FK; exact grad/hessian of a tiny graph) and the FK-dependent TASK part,
+    written as 0.5·||r(x)||² (terms.task_residuals). For the task part:
+
+        lx  = Jᵀ r          — EXACT (the gradient of a sum of squares),
+        lxx ≈ Jᵀ J          — Gauss-Newton: drops Σᵢ rᵢ ∇²rᵢ.
+
+    Same fixed points as "exact" (lx untouched), PSD task Hessian by
+    construction, and only nr≈23 residual-row tangents through FK per knot
+    instead of jax.hessian's nx jacfwd-of-grad sweep — the fleet-scale cost
+    Hessian was the residual HBM peak after lin_chunk (2 × 7.8 GB at 1024).
+    """
+    N = ubar.shape[0]
+    nx = xbar.shape[-1]
+
+    def light_x(x, t):
+        return (terms.tracking_cost(cp, x, win.x[t], model=model)
+                + terms.joint_limit_cost(model, cp, x))
+
+    def stage_u(u, t):
+        return terms.tracking_cost(
+            cp, xbar[t], win.x[t], u, win.u[t], model=model
+        ) + terms.torque_limit_cost(model, cp, u)
+
+    def R_stage(x, t):
+        return terms.task_residuals(
+            model, cp, x, win.com[t], win.com_vel[t], win.ee_pos[t], win.stance[t]
+        )
+
+    ts = jnp.arange(N)
+    lx_l = jax.vmap(jax.grad(light_x))(xbar[:N], ts)
+    lxx_l = jax.vmap(jax.hessian(light_x))(xbar[:N], ts)
+    r_s = jax.vmap(R_stage)(xbar[:N], ts)            # (N, nr)
+    J_s = jax.vmap(jax.jacfwd(R_stage))(xbar[:N], ts)  # (N, nr, nx)
+    lx_s = lx_l + jnp.einsum("tri,tr->ti", J_s, r_s)
+    lxx_s = lxx_l + jnp.einsum("tri,trj->tij", J_s, J_s)
+
+    lu = jax.vmap(jax.grad(stage_u))(ubar, ts)
+    luu = jax.vmap(jax.hessian(stage_u))(ubar, ts)
+
+    def light_N(x):
+        return (terms.tracking_cost(cp, x, win.x[N], terminal=True, model=model)
+                + terms.joint_limit_cost(model, cp, x))
+
+    def R_N(x):
+        return terms.task_residuals(
+            model, cp, x, win.com[N], win.com_vel[N], win.ee_pos[N],
+            win.stance[N], terminal=True,
+        )
+
+    r_N = R_N(xbar[N])
+    J_N = jax.jacfwd(R_N)(xbar[N])
+    lx_N = jax.grad(light_N)(xbar[N]) + jnp.matmul(J_N.T, r_N)
+    lxx_N = jax.hessian(light_N)(xbar[N]) + jnp.matmul(J_N.T, J_N)
 
     lx = jnp.concatenate([lx_s, lx_N[None]], axis=0)
     lxx = jnp.concatenate([lxx_s, lxx_N[None]], axis=0)

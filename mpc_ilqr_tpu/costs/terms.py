@@ -139,6 +139,50 @@ def torque_limit_cost(model: RobotModel, cp: CostParams, u):
     return cp.w_torque_limits * jnp.sum(v_hi * v_hi + v_lo * v_lo)
 
 
+def task_residuals(model, cp, x, com_ref, com_vel_ref, ee_ref, stance,
+                   terminal=False):
+    """The FK-dependent task terms as ONE weighted residual stack r(x):
+
+        0.5 · ||r(x)||² == com + com_vel + ee_pos + ee_vel + upright + balance
+
+    exactly — each term's weight, gate, and 0.5-convention is folded into
+    its rows via square roots (w·||e||² rows get sqrt(2w), 0.5·w·||e||² rows
+    get sqrt(w); stance/active gates are per-knot constants, never functions
+    of x, so the sqrt-gating is differentiation-safe). terminal=True drops
+    the CoM-velocity rows (ilqr.cpp:202-243 quadraticizes no com-vel term at
+    the terminal knot).
+
+    This is the basis of the Gauss-Newton quadraticization
+    (costs/quadratics.py hess_mode="gn"): lx = Jᵀr stays EXACT, and
+    lxx ≈ JᵀJ needs only the nr≈23 residual-row tangents through FK instead
+    of jax.hessian's nx=51 jacfwd-of-grad sweep.
+    """
+    feats = kin.task_features(model, x)
+    s2 = lambda w: jnp.sqrt(2.0 * w)  # w·||e||² terms (no 0.5 in the ref)
+    s1 = lambda w: jnp.sqrt(w)        # 0.5·w·||e||² terms
+    rows = [s2(cp.w_com) * (feats.com - com_ref)]
+    if not terminal:
+        rows.append(s2(cp.w_com_vel) * (feats.com_vel - com_vel_ref))
+    if model.n_ee:
+        swing = jnp.sqrt(jnp.maximum(1.0 - stance, 0.0))
+        rows.append(((s2(cp.w_ee_pos) * swing)[:, None]
+                     * (feats.ee_pos - ee_ref)).reshape(-1))
+        rows.append(((s2(cp.w_ee_vel) * jnp.sqrt(stance))[:, None]
+                     * feats.ee_vel).reshape(-1))
+    if model.has_free_base:
+        qw, qx, qy, qz = x[3], x[4], x[5], x[6]
+        rx = 2.0 * (qx * qz + qw * qy)
+        ry = 2.0 * (qy * qz - qw * qx)
+        rz = 1.0 - 2.0 * (qx * qx + qy * qy) - 1.0
+        rows.append(s1(cp.w_upright) * jnp.stack([rx, ry, rz]))
+        if model.n_ee:
+            center, active = support_center(ee_ref, stance)
+            omega0 = jnp.sqrt(jnp.maximum(feats.com[2], 1e-6) / cp.balance_g)
+            p_cp = feats.com[:2] + feats.com_vel[:2] * omega0
+            rows.append(s1(cp.w_balance * active) * (p_cp - center))
+    return jnp.concatenate(rows)
+
+
 # ---------------------------------------------------------------------------
 # Assembled stage/terminal costs
 # ---------------------------------------------------------------------------

@@ -126,6 +126,12 @@ class ILQRConfig:
     # directions; the residual fleet-scale HBM peak after lin_chunk —
     # measured 2 x 7.8 GB at fleet=1024). 0 = plain jax.hessian.
     hess_chunk: int = 0
+    # Cost x-Hessian mode. "exact" = jax.hessian (the reference's CasADi
+    # exact Hessians, derivatives.cpp). "gn" = Gauss-Newton on the task
+    # residual stack (costs/quadratics.py _quadraticize_gn): lx stays exact
+    # (same fixed points), lxx ≈ JᵀJ is PSD and needs only the nr≈23
+    # residual tangents through FK instead of the nx jacfwd-of-grad sweep.
+    quad_mode: str = "exact"
 
 
 def vmap_safe(cfg: ILQRConfig) -> ILQRConfig:
@@ -504,7 +510,7 @@ def solve(
         xbar = c.xbar  # consistent nominal (see xbar_rolled note above)
         A, B = linearize(model, cfg, xbar, c.ubar) if AB is None else AB
         quad = quadraticize(model, cp, win, xbar, c.ubar,
-                            hess_chunk=cfg.hess_chunk)
+                            hess_chunk=cfg.hess_chunk, hess_mode=cfg.quad_mode)
         baseline = trajectory_cost(model, cp, win, xbar, c.ubar, mode=cfg.cost_mode)
 
         class Att(NamedTuple):

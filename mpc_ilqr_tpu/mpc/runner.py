@@ -72,6 +72,7 @@ def setup(app: AppConfig) -> Problem:
         scan_unroll=int(app.engine.get("scan_unroll", 1)),
         rollout_backend=app.engine.get("rollout_backend", "xla"),
         ls_backend=app.engine.get("ls_backend", "xla"),
+        quad_mode=app.engine.get("quad_mode", "exact"),
     )
     refs = ioref.load_reference_set(
         model,

@@ -196,3 +196,70 @@ def test_hess_chunk_matches_full_width(setup):
                                    atol=1e-9, err_msg=f"chunk={chunk}")
         np.testing.assert_allclose(np.asarray(q.lx), np.asarray(q0.lx), atol=0)
         np.testing.assert_allclose(np.asarray(q.luu), np.asarray(q0.luu), atol=0)
+
+
+def _random_window(model, N, seed=11):
+    rng = np.random.default_rng(seed)
+    x0 = standing_state(model)
+    xs = x0[None] + jnp.asarray(0.02 * rng.standard_normal((N + 1, model.nx)))
+    us = jnp.asarray(2.0 * rng.standard_normal((N, model.nu)))
+    stance = jnp.asarray(rng.integers(0, 2, (N + 1, 2)), jnp.float64)
+    win = ReferenceWindow(
+        x=x0[None] + jnp.asarray(0.01 * rng.standard_normal((N + 1, model.nx))),
+        u=jnp.asarray(0.5 * rng.standard_normal((N, model.nu))),
+        com=jnp.asarray([0.0, 0.0, 1.0]) + jnp.asarray(0.01 * rng.standard_normal((N + 1, 3))),
+        com_vel=jnp.asarray(0.05 * rng.standard_normal((N + 1, 3))),
+        ee_pos=jnp.asarray(0.2 * rng.standard_normal((N + 1, 2, 3))),
+        stance=stance,
+    )
+    return xs, us, win
+
+
+def test_task_residual_stack_matches_terms(setup):
+    """0.5·||task_residuals||² must equal the summed task terms EXACTLY
+    (weights/gates/0.5-conventions folded via square roots) — at random
+    states, mixed stance gates, stage and terminal variants."""
+    model, cp, _ = setup
+    N = 4
+    xs, us, win = _random_window(model, N)
+    for t in range(N):
+        r = terms.task_residuals(model, cp, xs[t], win.com[t], win.com_vel[t],
+                                 win.ee_pos[t], win.stance[t])
+        full = terms.stage_cost_full(model, cp, xs[t], us[t], win.x[t], win.u[t],
+                                     win.com[t], win.com_vel[t], win.ee_pos[t], win.stance[t])
+        light = (terms.tracking_cost(cp, xs[t], win.x[t], us[t], win.u[t], model=model)
+                 + terms.joint_limit_cost(model, cp, xs[t])
+                 + terms.torque_limit_cost(model, cp, us[t]))
+        np.testing.assert_allclose(0.5 * float(jnp.sum(r * r)),
+                                   float(full) - float(light), rtol=1e-10)
+    rT = terms.task_residuals(model, cp, xs[N], win.com[N], win.com_vel[N],
+                              win.ee_pos[N], win.stance[N], terminal=True)
+    fullT = terms.terminal_cost_full(model, cp, xs[N], win.x[N], win.com[N],
+                                     win.com_vel[N], win.ee_pos[N], win.stance[N])
+    lightT = (terms.tracking_cost(cp, xs[N], win.x[N], terminal=True, model=model)
+              + terms.joint_limit_cost(model, cp, xs[N]))
+    np.testing.assert_allclose(0.5 * float(jnp.sum(rT * rT)),
+                               float(fullT) - float(lightT), rtol=1e-10)
+
+
+def test_gn_quadraticization(setup):
+    """hess_mode="gn": lx/lu/luu EXACT vs jax.hessian (the gradient of a
+    sum of squares is Jᵀr — no approximation), lxx = light-exact + JᵀJ with
+    the task block PSD; only the ∑ rᵢ∇²rᵢ curvature may differ."""
+    model, cp, _ = setup
+    N = 3
+    xs, us, win = _random_window(model, N, seed=13)
+    qe = quadraticize(model, cp, win, xs, us)
+    qg = quadraticize(model, cp, win, xs, us, hess_mode="gn")
+    np.testing.assert_allclose(np.asarray(qg.lx), np.asarray(qe.lx), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(qg.lu), np.asarray(qe.lu), atol=0)
+    np.testing.assert_allclose(np.asarray(qg.luu), np.asarray(qe.luu), atol=0)
+    # The GN lxx stays symmetric and its task part PSD: eigenvalues of the
+    # full lxx bounded below by the light part's (diag Q / limit) minimum.
+    for t in range(N + 1):
+        H = np.asarray(qg.lxx[t])
+        np.testing.assert_allclose(H, H.T, atol=1e-10)
+        assert np.linalg.eigvalsh(H).min() > -1e-9
+    # Curvature gap is real but bounded (sanity: same order as exact lxx).
+    gap = float(jnp.abs(qg.lxx - qe.lxx).max())
+    assert gap < 0.5 * float(jnp.abs(qe.lxx).max()) + 1e-9

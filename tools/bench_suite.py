@@ -219,6 +219,8 @@ def bench_fleet(args):
     )
     if args.fleet_lin:
         overrides["linearization"] = args.fleet_lin
+    if args.fleet_quad:
+        overrides["quad_mode"] = args.fleet_quad
     prob = _setup(standing=True, **overrides)
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
     models = fleet_mod.randomized_models(model, jax.random.PRNGKey(0), n)
@@ -284,6 +286,10 @@ def main():
                     help="cost x-Hessian direction-chunk size (see "
                          "--fleet-linchunk; the residual HBM peak at "
                          "fleet=1024 is the 51-direction Hessian)")
+    ap.add_argument("--fleet-quad", default=None, choices=["exact", "gn"],
+                    help="cost x-Hessian mode: gn = Gauss-Newton residual "
+                         "stack (exact lx, lxx=JtJ, ~23 FK tangents instead "
+                         "of the 51-direction jacfwd-of-grad sweep)")
     ap.add_argument("--lh-backward", default="scan",
                     choices=["scan", "pallas", "assoc"],
                     help="long_horizon Riccati backward variant: serial "

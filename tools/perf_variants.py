@@ -36,6 +36,11 @@ VARIANTS = {
     # frozen-mass jacfwd: same flagship config otherwise.
     "structured": {"linearization": "structured_frozen_mass"},
     "structured_exact": {"linearization": "structured"},
+    # Gauss-Newton task-cost Hessians (exact lx, lxx = JtJ via the residual
+    # stack) — and the combined structured+GN candidate flagship.
+    "gn": {"quad_mode": "gn"},
+    "structured_gn": {"linearization": "structured_frozen_mass",
+                      "quad_mode": "gn"},
 }
 
 
