@@ -58,7 +58,8 @@ _ENGINE_DEFAULTS = dict(
     tolerance=1e-4,
     dtype="float32",
     backward="scan",  # "scan" | "pallas" (ops/riccati.py one-launch kernel)
-    linearization="ad",  # "ad" | "fd"
+    linearization="ad",  # "ad" | "fd" | "ad_frozen_mass" | "structured[_frozen_mass]"
+    quad_mode="exact",  # "exact" (jax.hessian) | "gn" (Gauss-Newton residual stack)
     scan_unroll=1,
     quat_tangent=False,  # tangent-space base-orientation error (parity: raw)
 )

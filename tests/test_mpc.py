@@ -59,6 +59,31 @@ def test_closed_loop_standing(prob):
     assert bool(state.has_prev)
 
 
+def test_closed_loop_standing_structured_gn(prob):
+    """Closed-loop MPC with the round-3 candidate flagship solver numerics
+    (structured_frozen_mass linearization + Gauss-Newton cost Hessians):
+    same stabilization quality as the default config on the standing task.
+    Covers the config flip before any hardware default changes."""
+    model, cp, cfg0, refs, _ = prob
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg0, linearization="structured_frozen_mass",
+                              quad_mode="gn")
+    step_once = jax.jit(functools.partial(controller.step_once, model, cp, cfg))
+    x = standing_state(model)
+    state = controller.init_state(model, cfg)
+    plant = jax.jit(lambda xx, uu: engine.step(model, xx, uu))
+    costs = []
+    for i in range(8):
+        state, u, diag = step_once(refs, state, x)
+        assert bool(diag.solve_ok), f"solve failed at step {i}"
+        x = plant(x, u)
+        costs.append(float(diag.cost))
+        assert np.isfinite(np.asarray(x)).all()
+    assert 1.0 < float(x[2]) < 1.1
+    assert costs[-1] < costs[0]
+
+
 def test_reset(prob):
     model, cp, cfg, refs, step_once = prob
     state = controller.init_state(model, cfg)

@@ -68,6 +68,33 @@ def test_fleet_vmap_step(tiny_arm):
     assert float(jnp.std(us[:, 0])) > 0.0
 
 
+def test_fleet_vmap_structured_gn(tiny_arm):
+    """The fleet-candidate solver config (structured_frozen_mass linearize +
+    Gauss-Newton cost Hessians) must survive vmap over domain-randomized
+    model pytrees (batched leaves through step_and_jac / the residual
+    stack) and agree with the exact-mode fleet controls."""
+    model, cp, refs = tiny_arm
+    n = 4
+    models = fleet_mod.randomized_models(model, jax.random.PRNGKey(1), n)
+    xs = jnp.tile(jnp.array([0.05, -0.05, 0.0, 0.0], jnp.float32)[None], (n, 1))
+
+    def run(cfg):
+        states = fleet_mod.fleet_init(models, cfg, n)
+        step = jax.jit(lambda m, s, x: fleet_mod.fleet_step_once(m, cp, cfg, refs, s, x))
+        _, us, diag = step(models, states, xs)
+        return us, diag
+
+    us0, diag0 = run(ILQRConfig(N=4, max_iterations=2))
+    us1, diag1 = run(ILQRConfig(N=4, max_iterations=2,
+                                linearization="structured_frozen_mass",
+                                quad_mode="gn"))
+    assert np.asarray(diag1.solve_ok).all()
+    assert np.isfinite(np.asarray(us1)).all()
+    # Same problem, same accept policy; GN/frozen only reshape the Hessian/
+    # tangents — controls stay close on this near-LQR arm problem.
+    np.testing.assert_allclose(np.asarray(us1), np.asarray(us0), atol=2e-2)
+
+
 def _mesh_vs_local(model, cp, cfg, refs, x0):
     """Shared body: vmap fleet step locally, then sharded over a (dp, ls)
     mesh — sharding is a layout, not a semantic."""
