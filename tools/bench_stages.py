@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--config", default="standing",
                     choices=["standing", "walking", "long_horizon"])
+    ap.add_argument("--lin", default=None,
+                    choices=["ad", "ad_frozen_mass", "fd",
+                             "structured", "structured_frozen_mass"],
+                    help="override engine.linearization for the stage timings")
+    ap.add_argument("--quad", default=None, choices=["exact", "gn"],
+                    help="override engine.quad_mode")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -61,7 +67,14 @@ def main():
         app.mpc.horizon = 100
     prob = runner.setup(app)
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
-    print(f"device: {jax.devices()[0]}, N={cfg.N}, reps={args.reps}", flush=True)
+    import dataclasses
+
+    if args.lin:
+        cfg = dataclasses.replace(cfg, linearization=args.lin)
+    if args.quad:
+        cfg = dataclasses.replace(cfg, quad_mode=args.quad)
+    print(f"device: {jax.devices()[0]}, N={cfg.N}, reps={args.reps}, "
+          f"lin={cfg.linearization}, quad={cfg.quad_mode}", flush=True)
 
     x0 = standing_state(model)
     win = extract_window(refs, jnp.zeros((), jnp.int32), cfg.N)
@@ -103,7 +116,8 @@ def main():
         lambda e: jnp.sum(ilqr.linearize(model, cfg, xbar + e, ubar)[0])
     )
     stages["quadraticize"] = reploop(
-        lambda e: jnp.sum(quadraticize(model, cp, win, xbar + e, ubar).lx)
+        lambda e: jnp.sum(quadraticize(model, cp, win, xbar + e, ubar,
+                                       hess_mode=cfg.quad_mode).lx)
     )
     stages["cost_eval"] = reploop(
         lambda e: trajectory_cost(model, cp, win, xbar + e, ubar, mode=cfg.cost_mode)
