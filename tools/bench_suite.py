@@ -91,17 +91,33 @@ def _timed_loop(prob, n_steps, reps=3):
 
 
 def _ls_overrides(args):
-    """--ls-backend: route the line search through a specific backend
-    (notably 'pallas_batched': all alphas in ONE kernel program)."""
-    return {"ls_backend": args.ls_backend} if args.ls_backend else {}
+    """Solver-numerics overrides: --ls-backend (notably 'pallas_batched':
+    all alphas in ONE kernel program), --lin, --quad."""
+    ov = {}
+    if args.ls_backend:
+        ov["ls_backend"] = args.ls_backend
+    if getattr(args, "lin", None):
+        ov["linearization"] = args.lin
+    if getattr(args, "quad", None):
+        ov["quad_mode"] = args.quad
+    return ov
+
+
+def _numerics_tag(args):
+    tag = ""
+    if args.ls_backend:
+        tag += f"_ls_{args.ls_backend}"
+    if getattr(args, "lin", None):
+        tag += f"_lin_{args.lin}"
+    if getattr(args, "quad", None):
+        tag += f"_quad_{args.quad}"
+    return tag
 
 
 def bench_standing(args):
     prob = _setup(standing=True, **_ls_overrides(args))
     ms, compile_s, hist, xf = _timed_loop(prob, args.steps)
-    tag = "_parity" if _PARITY else ""
-    if args.ls_backend:
-        tag += f"_ls_{args.ls_backend}"
+    tag = ("_parity" if _PARITY else "") + _numerics_tag(args)
     _emit(f"standing_mpc_ms_per_step{tag}", ms, "ms", REFERENCE_MS / ms,
           compile_s=compile_s, final_cost=float(hist["cost"][-1]), base_z=float(xf[2]))
 
@@ -109,9 +125,7 @@ def bench_standing(args):
 def bench_walking(args):
     prob = _setup(standing=False, **_ls_overrides(args))
     ms, compile_s, hist, xf = _timed_loop(prob, args.steps)
-    tag = "_parity" if _PARITY else ""
-    if args.ls_backend:
-        tag += f"_ls_{args.ls_backend}"
+    tag = ("_parity" if _PARITY else "") + _numerics_tag(args)
     _emit(f"walking_mpc_ms_per_step{tag}", ms, "ms", REFERENCE_MS / ms,
           compile_s=compile_s, final_cost=float(hist["cost"][-1]), base_z=float(xf[2]))
 
@@ -286,6 +300,12 @@ def main():
                     help="cost x-Hessian direction-chunk size (see "
                          "--fleet-linchunk; the residual HBM peak at "
                          "fleet=1024 is the 51-direction Hessian)")
+    ap.add_argument("--lin", default=None,
+                    choices=["ad", "ad_frozen_mass", "fd",
+                             "structured", "structured_frozen_mass"],
+                    help="standing/walking linearization override")
+    ap.add_argument("--quad", default=None, choices=["exact", "gn"],
+                    help="standing/walking cost-Hessian mode override")
     ap.add_argument("--fleet-quad", default=None, choices=["exact", "gn"],
                     help="cost x-Hessian mode: gn = Gauss-Newton residual "
                          "stack (exact lx, lxx=JtJ, ~23 FK tangents instead "
