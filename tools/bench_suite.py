@@ -144,7 +144,7 @@ def bench_linesearch(args):
                                         0.2, 0.15, 0.1, 0.07, 0.05, 0.03, 0.02, 0.01))
     # first_accept: cascade degenerates under the vmap over seeds (cond->select)
     prob = _setup(standing=True, alphas=alphas16, max_iterations=3,
-                  line_search="first_accept")
+                  line_search="first_accept", **_ls_overrides(args))
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
     x0 = standing_state(model)
     win = extract_window(refs, jnp.zeros((), jnp.int32), cfg.N)
@@ -164,7 +164,8 @@ def bench_linesearch(args):
         sol = jax.block_until_ready(solve8(seeds + 1e-6 * (i + 1)))
     dt = (time.perf_counter() - t0) / reps
     solves_per_s = 8 / dt
-    _emit("batched_linesearch_solves_per_s", solves_per_s, "solves/s",
+    _emit(f"batched_linesearch_solves_per_s{_numerics_tag(args)}",
+          solves_per_s, "solves/s",
           solves_per_s / (1000.0 / REFERENCE_MS), compile_s=compile_s,
           mean_cost=float(np.mean(np.asarray(sol.cost))))
 
