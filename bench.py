@@ -158,10 +158,38 @@ def _attempt(name: str, budget_s: float):
     return None
 
 
+def _wait_for_tpu(max_wait_s: float) -> bool:
+    """Bounded wait for the axon tunnel (it has gone down for hours at a
+    time, r3): probe device init in a subprocess, retrying up to max_wait_s.
+    Returns True once a TPU answers; False if the budget runs out (the
+    attempts proceed anyway so their own error text lands in stderr)."""
+    t0 = time.perf_counter()
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d=jax.devices(); assert d[0].platform=='tpu'"],
+                capture_output=True, timeout=240, cwd=ROOT,
+            )
+            if probe.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.perf_counter() - t0
+        if waited >= max_wait_s:
+            print(f"# TPU tunnel unreachable after {waited:.0f}s — proceeding",
+                  file=sys.stderr)
+            return False
+        print(f"# TPU tunnel down ({waited:.0f}s) — retrying", file=sys.stderr)
+        time.sleep(min(60.0, max_wait_s - waited))
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--inner":
         run_inner(sys.argv[2])
         return
+
+    _wait_for_tpu(float(os.environ.get("BENCH_TPU_WAIT_S", "600")))
 
     # Measured (r3): a fully-cold flagship run lands in ~10.5 min (cache-warm:
     # ~2 min); the driver's window is ~30 min. 15 min leaves the fallback
