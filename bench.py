@@ -77,18 +77,27 @@ def run_inner(name: str) -> None:
     prob = runner.setup(app)
     model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
 
-    run = jax.jit(
-        functools.partial(controller.run_closed_loop, model, cp, cfg, plan=prob.plan),
-        static_argnames=("n_steps",),
-    )
-
     x = standing_state(model)
     state = controller.init_state(model, cfg)
 
-    # Warm-up / compile (excluded from timing).
+    # AOT fast path (VERDICT r3 weak 4): deserialize the pre-compiled
+    # executable from artifacts/aot/bench_<name>.jaxexec (seconds) instead
+    # of the 10-25 min remote compile; on fingerprint mismatch (any source/
+    # config/jax/device change) fall back to jit AND refresh the artifact.
+    from mpc_ilqr_tpu.utils import aot
+
+    fn = functools.partial(controller.run_closed_loop, model, cp, cfg, plan=prob.plan)
+    run_c, used_aot, compile_s = aot.jit_or_aot(
+        f"bench_{name}", fn, (refs, state, x),
+        static_argnames=("n_steps",), n_steps=N_STEPS,
+    )
+    run = lambda r, s, xx, n_steps=None: run_c(r, s, xx)  # noqa: E731
+
+    # Warm-up (excluded from timing): compile already accounted above for
+    # the cold path; for the AOT path this is deserialize+first-exec.
     t0 = time.perf_counter()
     out = jax.block_until_ready(run(refs, state, x, n_steps=N_STEPS))
-    compile_s = time.perf_counter() - t0
+    compile_s += time.perf_counter() - t0
 
     # Timed: the whole closed-loop plan-act simulation on device (controller
     # + plant fused in one program), averaged per MPC step — the same
@@ -115,7 +124,8 @@ def run_inner(name: str) -> None:
     }
     # Context to stderr; the single JSON line to stdout.
     print(
-        f"# config={name} device={jax.devices()[0]} compile={compile_s:.1f}s "
+        f"# config={name} device={jax.devices()[0]} aot={used_aot} "
+        f"compile={compile_s:.1f}s "
         f"min={min(steady):.2f} max={max(steady):.2f} cost0={costs[0]:.2f} "
         f"costN={costs[-1]:.2f} base_z={float(x_f[2]):.3f}",
         file=sys.stderr,
@@ -184,16 +194,55 @@ def _wait_for_tpu(max_wait_s: float) -> bool:
         time.sleep(min(60.0, max_wait_s - waited))
 
 
+# Driver-artifact extras (VERDICT r3 item 4): after the guaranteed standing
+# headline, emit one JSON line per remaining BASELINE.md config. Each runs
+# tools/bench_suite.py in a subprocess under its own wall budget with the
+# AOT executables enabled, so a warm-artifact pass adds only seconds per
+# metric; a cold one is dropped when its budget expires — the headline can
+# never be starved. Matches the reference's multi-row profile table
+# (/root/reference/README.md:196-212).
+EXTRAS = [
+    ("walking", ["--config", "walking", "--steps", "15", "--aot"]),
+    ("long_horizon", ["--config", "long_horizon", "--lh-tuned", "--aot"]),
+    ("linesearch", ["--config", "linesearch", "--aot"]),
+    ("fleet", ["--config", "fleet", "--fleet", "1024", "--chunk", "128",
+               "--fleet-linevery", "2", "--aot"]),
+]
+
+
+def _run_extra(label: str, argv: list, budget_s: float) -> None:
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools", "bench_suite.py"), *argv],
+            capture_output=True, text=True, timeout=budget_s, cwd=ROOT,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# extra {label}: no result within {budget_s:.0f}s — skipped",
+              file=sys.stderr)
+        return
+    sys.stderr.write(proc.stderr)
+    emitted = False
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            print(line, flush=True)
+            emitted = True
+    if not emitted:
+        print(f"# extra {label}: rc={proc.returncode}, no JSON line", file=sys.stderr)
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--inner":
         run_inner(sys.argv[2])
         return
 
+    t_start = time.perf_counter()
     _wait_for_tpu(float(os.environ.get("BENCH_TPU_WAIT_S", "600")))
 
-    # Measured (r3): a fully-cold flagship run lands in ~10.5 min (cache-warm:
-    # ~2 min); the driver's window is ~30 min. 15 min leaves the fallback
-    # (~2-4 min compile) comfortable room either way.
+    # Measured (r3): a fully-cold flagship run lands in ~10.5 min; with the
+    # AOT artifact valid it lands in well under a minute. The driver's
+    # window is ~30 min. 15 min leaves the fallback (~2-4 min compile)
+    # comfortable room either way.
     budget = float(os.environ.get("BENCH_FLAGSHIP_BUDGET_S", "900"))
     result = _attempt("flagship", budget)
     if result is None:
@@ -209,6 +258,18 @@ def main() -> None:
             "vs_baseline": 0.0,
         }
     print(json.dumps(result), flush=True)
+
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "1680"))
+    extra_budget = float(os.environ.get("BENCH_EXTRA_BUDGET_S", "420"))
+    if os.environ.get("BENCH_EXTRAS", "1") != "1":
+        return
+    for label, argv in EXTRAS:
+        remaining = total_budget - (time.perf_counter() - t_start)
+        if remaining < 60.0:
+            print(f"# extras stopped: {remaining:.0f}s left of the "
+                  f"{total_budget:.0f}s total budget", file=sys.stderr)
+            break
+        _run_extra(label, argv, min(extra_budget, remaining))
 
 
 if __name__ == "__main__":
