@@ -148,10 +148,27 @@ def batch_plan_with_arrays(bp: BatchPlan, arrays) -> BatchPlan:
 
 
 def _fold_col(M: jnp.ndarray) -> jnp.ndarray:
-    """(A, n) -> (A·n, 1) column, concat+transpose (no reshape relayouts)."""
-    A = M.shape[0]
-    row = jnp.concatenate([M[a : a + 1, :] for a in range(A)], axis=1)
-    return row.T
+    """(A, n) -> (A·n, 1) column (vec-by-rows), as masked matmuls.
+
+    Mosaic-safe form (hardware A/B, round 4): the previous
+    concat-of-row-slices gave each piece a distinct vector offset
+    ({a, a·n}) and tpu.concatenate refuses the relayout ("result/input
+    offset mismatch on non-concat dimension"). Two matmuls against
+    iota-built 0/1 masks produce the same fold with every operand at
+    offset {0,0}: rep[r, :] = M[r//n, :], then row r dots the e_{r%n}
+    basis column. Exact in f32 (0/1 weights), ~A²n² MACs — noise next to
+    the dynamics matmuls.
+    """
+    A, n = M.shape
+    dt = M.dtype
+    r_blk = jax.lax.broadcasted_iota(jnp.int32, (A * n, A), 0) // n
+    a_lane = jax.lax.broadcasted_iota(jnp.int32, (A * n, A), 1)
+    r_el = jax.lax.broadcasted_iota(jnp.int32, (A * n, n), 0) % n
+    j_lane = jax.lax.broadcasted_iota(jnp.int32, (A * n, n), 1)
+    R = (r_blk == a_lane).astype(dt)      # (A·n, A): row r selects alpha r//n
+    T = (r_el == j_lane).astype(dt)       # (A·n, n): row r selects element r%n
+    rep = jnp.matmul(R, M, precision=HP)  # (A·n, n): row r = M[r//n, :]
+    return jnp.matmul(rep * T, jnp.ones((n, 1), dt), precision=HP)
 
 
 def _rot_cols(q: jnp.ndarray, vx, vy, vz, inv: bool = False):

@@ -87,6 +87,16 @@ def main():
                     help="override engine.tolerance (1e-4 = reference parity)")
     ap.add_argument("--tag", default=None,
                     help="artifact name tag (default walking_<plant>)")
+    ap.add_argument("--gravity-z", type=float, default=None,
+                    help="override world gravity z (e.g. -9.81; the stock "
+                         "reference value is -1.0, config.yaml:20 — its own "
+                         "balance cost hardcodes 9.81, ilqr.cpp:417)")
+    ap.add_argument("--physics-dt", type=float, default=None,
+                    help="override plant/engine physics_dt (0.005 = 4 "
+                         "substeps per 50 Hz control step; needed at "
+                         "physical gravity where contact loads are ~10x)")
+    ap.add_argument("--contact-stiffness", type=float, default=None)
+    ap.add_argument("--contact-damping", type=float, default=None)
     ap.add_argument("--outdir", default=os.path.join(ROOT, "docs", "artifacts"))
     args = ap.parse_args()
     if args.cpu:
@@ -101,6 +111,14 @@ def main():
         app.engine["max_iterations"] = args.iters
     if args.tol is not None:
         app.engine["tolerance"] = args.tol
+    if args.gravity_z is not None:
+        app.mpc.gravity = [0.0, 0.0, args.gravity_z]
+    if args.physics_dt is not None:
+        app.mpc.physics_dt = args.physics_dt
+    if args.contact_stiffness is not None:
+        app.engine["contact_stiffness"] = args.contact_stiffness
+    if args.contact_damping is not None:
+        app.engine["contact_damping"] = args.contact_damping
     prob = runner.setup(app)
     print(f"device={jax.devices()[0]} N={prob.cfg.N} steps={args.steps} "
           f"plant={args.plant}", flush=True)
