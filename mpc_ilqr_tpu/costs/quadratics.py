@@ -50,6 +50,34 @@ def _hessian_chunked(f, n: int, chunk: int, dtype):
     return hess
 
 
+def _jacfwd_chunked(f, n: int, chunk: int, dtype):
+    """jax.jacfwd(f) in direction groups of `chunk` via lax.map.
+
+    Same cure as _hessian_chunked, for the GN residual Jacobian: plain
+    jacfwd(R_stage) pushes all nx=51 tangents through FK simultaneously —
+    at fleet scale that is THE HBM peak (measured round 4: the chunk=1024
+    fleet OOM'd on a f32[1024,25,51,20,25,3] = 9.7 GB FK-tangent temp at
+    kinematics.py:183 even in gn mode, because hess_chunk never reached
+    the jacfwd). chunk<=0 or chunk>=n returns plain jax.jacfwd."""
+    if chunk <= 0 or chunk >= n:
+        return jax.jacfwd(f)
+
+    pad = (-n) % chunk
+    eye = jnp.eye(n, dtype=dtype)
+    if pad:
+        eye = jnp.concatenate([eye, jnp.zeros((pad, n), dtype)], axis=0)
+    eye_g = eye.reshape(-1, chunk, n)
+
+    def jac(x, *args):
+        ff = lambda xx: f(xx, *args)
+        cols = lambda E: jax.vmap(lambda e: jax.jvp(ff, (x,), (e,))[1])(E)
+        out = jax.lax.map(cols, eye_g)  # (groups, chunk, nr)
+        nr = out.shape[-1]
+        return out.reshape(-1, nr)[:n].T  # (nr, n) == jacfwd layout
+
+    return jac
+
+
 def quadraticize(
     model: RobotModel,
     cp: CostParams,
@@ -60,7 +88,8 @@ def quadraticize(
     hess_mode: str = "exact",
 ) -> CostQuadratics:
     if hess_mode == "gn":
-        return _quadraticize_gn(model, cp, win, xbar, ubar)
+        return _quadraticize_gn(model, cp, win, xbar, ubar,
+                                hess_chunk=hess_chunk)
     N = ubar.shape[0]
 
     def stage_x(x, t):
@@ -94,7 +123,8 @@ def quadraticize(
     return CostQuadratics(lx=lx, lu=lu, lxx=lxx, luu=luu)
 
 
-def _quadraticize_gn(model, cp, win, xbar, ubar) -> CostQuadratics:
+def _quadraticize_gn(model, cp, win, xbar, ubar,
+                     hess_chunk: int = 0) -> CostQuadratics:
     """Gauss-Newton quadraticization (hess_mode="gn").
 
     The stage cost splits into a LIGHT part (tracking + soft limits — no
@@ -105,9 +135,11 @@ def _quadraticize_gn(model, cp, win, xbar, ubar) -> CostQuadratics:
         lxx ≈ Jᵀ J          — Gauss-Newton: drops Σᵢ rᵢ ∇²rᵢ.
 
     Same fixed points as "exact" (lx untouched), PSD task Hessian by
-    construction, and only nr≈23 residual-row tangents through FK per knot
-    instead of jax.hessian's nx jacfwd-of-grad sweep — the fleet-scale cost
-    Hessian was the residual HBM peak after lin_chunk (2 × 7.8 GB at 1024).
+    construction, and the nx tangents flow through the PRIMAL residual
+    graph (plain FK jvps, hess_chunk-groupable via _jacfwd_chunked)
+    instead of jax.hessian's jacfwd-of-grad double graph — the fleet-scale
+    cost Hessian was the residual HBM peak after lin_chunk (2 × 7.8 GB at
+    1024 in exact mode; 9.7 GB unchunked-jacfwd in gn mode, round-4 OOM).
     """
     N = ubar.shape[0]
     nx = xbar.shape[-1]
@@ -130,7 +162,8 @@ def _quadraticize_gn(model, cp, win, xbar, ubar) -> CostQuadratics:
     lx_l = jax.vmap(jax.grad(light_x))(xbar[:N], ts)
     lxx_l = jax.vmap(jax.hessian(light_x))(xbar[:N], ts)
     r_s = jax.vmap(R_stage)(xbar[:N], ts)            # (N, nr)
-    J_s = jax.vmap(jax.jacfwd(R_stage))(xbar[:N], ts)  # (N, nr, nx)
+    J_s = jax.vmap(_jacfwd_chunked(R_stage, nx, hess_chunk, xbar.dtype))(
+        xbar[:N], ts)                                # (N, nr, nx)
     lx_s = lx_l + jnp.einsum("tri,tr->ti", J_s, r_s)
     lxx_s = lxx_l + jnp.einsum("tri,trj->tij", J_s, J_s)
 

@@ -263,3 +263,24 @@ def test_gn_quadraticization(setup):
     # Curvature gap is real but bounded (sanity: same order as exact lxx).
     gap = float(jnp.abs(qg.lxx - qe.lxx).max())
     assert gap < 0.5 * float(jnp.abs(qe.lxx).max()) + 1e-9
+
+
+def test_gn_hess_chunk_matches_full_width(setup):
+    """hess_mode="gn" must honor hess_chunk: the unchunked jacfwd(R_stage)
+    pushes all nx tangents through FK at once — at fleet=1024 that temp
+    ([1024,25,51,20,25,3] = 9.7 GB) OOM'd the one-graph fleet solve on
+    hardware (round 4) even though --fleet-hesschunk was set. The chunked
+    residual Jacobian must be bit-identical in math (same jvps, grouped)."""
+    model, cp, _ = setup
+    N = 2
+    xs, us, win = _random_window(model, N, seed=21)
+    q0 = quadraticize(model, cp, win, xs, us, hess_mode="gn")
+    for chunk in (10, 16):  # 16 does not divide nx=51 -> padded
+        q = quadraticize(model, cp, win, xs, us, hess_mode="gn",
+                         hess_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(q.lxx), np.asarray(q0.lxx),
+                                   atol=1e-9, err_msg=f"chunk={chunk}")
+        np.testing.assert_allclose(np.asarray(q.lx), np.asarray(q0.lx),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(q.luu), np.asarray(q0.luu),
+                                   atol=0)

@@ -89,3 +89,45 @@ def test_walking_tracking_on_mujoco_plant_pinned():
     assert x_mean < 0.020, f"base-X mean tracking error {x_mean*1e3:.1f} mm"
     assert y_mean < 0.015, f"base-Y mean tracking error {y_mean*1e3:.1f} mm"
     assert z_mean < 0.010, f"base-Z mean tracking error {z_mean*1e3:.1f} mm"
+
+
+@pytest.mark.slow
+def test_walking_tracking_at_physical_gravity_pinned():
+    """VERDICT r3 item 8 pin: walking at g = −9.81 on the REAL MuJoCo plant.
+
+    The reference hardcodes gravity [0,0,−1] in its config
+    (/root/reference/config.yaml:20) while its balance cost assumes 9.81
+    (ilqr.cpp:417) — and at g=−1 the stock gait is friction-infeasible past
+    step ~100 (µ·g caps horizontal acceleration at 1.0 m/s²). At physical
+    gravity the cone opens to 9.81 m/s² and the gait becomes feasible; what
+    changes is the contact operating point (~10× the normal loads), which
+    needs a stiffer compliant model and 4 physics substeps (dt 0.005).
+
+    Round-4 sweep winner (tools/walking_demo.py --gravity-z -9.81
+    --physics-dt 0.005 --contact-stiffness 50000 --contact-damping 800,
+    docs/artifacts/walking_g981_k50000_d800_*): base-X mean 0.86 mm /
+    max 1.9 mm over 40 steps — ~7× tighter than the g=−1 deployment
+    (6.3 mm), because the feasible gait never fights the cone. The pin
+    allows generous headroom for CPU/TPU f32 closed-loop divergence."""
+    import dataclasses
+
+    app = load_config(os.path.join(ROOT, "config.yaml"))  # stock = walking
+    app.mpc.gravity = [0.0, 0.0, -9.81]
+    app.mpc.physics_dt = 0.005
+    app.engine["contact_stiffness"] = 50000.0
+    app.engine["contact_damping"] = 800.0
+    prob = runner.setup(app)
+
+    hist = run_mujoco_in_the_loop(prob, 40)
+    xs = np.stack(hist["x"])
+    assert np.isfinite(xs).all()
+    assert xs[-1, 2] > 0.9, f"fell: base z {xs[-1, 2]:.3f}"
+
+    q_ref = np.loadtxt(os.path.join(ROOT, "data", "q_ref2_mj.csv"), delimiter=",")
+    ref = q_ref[1 : len(xs) + 1]
+    x_mean = float(np.mean(np.abs(xs[:, 0] - ref[:, 0])))
+    y_mean = float(np.mean(np.abs(xs[:, 1] - ref[:, 1])))
+    z_mean = float(np.mean(np.abs(xs[:, 2] - ref[:, 2])))
+    assert x_mean < 0.005, f"base-X mean tracking error {x_mean*1e3:.2f} mm"
+    assert y_mean < 0.005, f"base-Y mean tracking error {y_mean*1e3:.2f} mm"
+    assert z_mean < 0.008, f"base-Z mean tracking error {z_mean*1e3:.2f} mm"
