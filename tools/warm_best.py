@@ -1,0 +1,198 @@
+#!/usr/bin/env python3
+"""Best-of-N AOT warm for the driver-bench graphs.
+
+The remote compile service is non-deterministic: the SAME graph comes back
+with different codegen quality across recompiles (measured r3/r4: fleet
+286 vs 149 inst·steps/s, walking 15.6 vs 20.0 ms/step across sessions).
+bench.py pins whatever executable its artifact holds — so warm the artifact
+with the best of N independent compiles instead of the last one.
+
+Each candidate compiles in a FRESH subprocess with a throwaway compile-cache
+dir (a shared .jax_cache would dedupe candidates 2..N back to candidate 1's
+executable), is timed on perturbed inputs (the remote execution layer dedupes
+byte-identical invocations), and serialized via mpc_ilqr_tpu.utils.aot. The
+parent keeps the fastest.
+
+Run candidates strictly sequentially: the axon service serializes clients.
+
+Usage:
+    python tools/warm_best.py --target flagship [--n 3]
+    python tools/warm_best.py --target fleet [--n 3] [--chunk 128]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, ROOT)
+
+N_STEPS = 15  # bench.py's standing run length
+
+
+def _fleet_overrides(args):
+    # Must mirror bench_suite.bench_fleet's overrides/key exactly — the
+    # artifact is only useful if bench.py's fleet extra finds it under the
+    # same (name, key).
+    return dict(
+        max_iterations=2,
+        line_search="first_accept",
+        alphas=(1.0, 0.6, 0.2, 0.05),
+        rollout_solver="masked",
+        inner_attempts=2,
+        linearize_every=2,
+        lin_chunk=0,
+        hess_chunk=0,
+    )
+
+
+def run_candidate(args) -> None:
+    """Child: compile the target graph cold, time it, save the artifact."""
+    import jax
+
+    # Throwaway compile cache: every candidate is a REAL recompile.
+    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+
+    import functools
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpc_ilqr_tpu.io.config import load_config
+    from mpc_ilqr_tpu.models.robot import standing_state
+    from mpc_ilqr_tpu.mpc import controller, runner
+    from mpc_ilqr_tpu.utils import aot
+
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    app.q_ref_path = "data/q_standing.csv"
+    app.v_ref_path = "data/v_standing.csv"
+    app.contact_schedule_path = "data/contact_standing.csv"
+
+    if args.target == "flagship":
+        prob = runner.setup(app)
+        model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
+        x = standing_state(model)
+        state = controller.init_state(model, cfg)
+        fn = functools.partial(controller.run_closed_loop, model, cp, cfg,
+                               plan=prob.plan)
+        jitted = jax.jit(fn, static_argnames=("n_steps",))
+        t0 = time.perf_counter()
+        compiled = jitted.lower(refs, state, x, n_steps=N_STEPS).compile()
+        compile_s = time.perf_counter() - t0
+        jax.block_until_ready(compiled(refs, state, x))
+        rep_ms = []
+        for i in range(args.reps):
+            x_i = x.at[2].add(1e-6 * (i + 1))
+            t0 = time.perf_counter()
+            jax.block_until_ready(compiled(refs, state, x_i))
+            rep_ms.append((time.perf_counter() - t0) * 1e3)
+        score_ms = float(np.mean(rep_ms)) / N_STEPS
+        key = ""
+    elif args.target == "fleet":
+        import dataclasses
+
+        from mpc_ilqr_tpu.parallel import fleet as fleet_mod
+
+        overrides = _fleet_overrides(args)
+        prob = runner.setup(app)
+        prob = prob._replace(cfg=dataclasses.replace(prob.cfg, **overrides))
+        model, cp, cfg, refs = prob.model, prob.cp, prob.cfg, prob.refs
+        n = args.fleet
+        models = fleet_mod.randomized_models(model, jax.random.PRNGKey(0), n)
+        states = fleet_mod.fleet_init(models, cfg, n)
+        xs = jnp.tile(standing_state(model)[None], (n, 1))
+        chunk = min(args.chunk, n)
+        fn = lambda m, s, x: fleet_mod.fleet_step_chunked(  # noqa: E731
+            m, cp, cfg, refs, s, x, chunk)
+        t0 = time.perf_counter()
+        compiled = jax.jit(fn).lower(models, states, xs).compile()
+        compile_s = time.perf_counter() - t0
+        jax.block_until_ready(compiled(models, states, xs))
+        rep_ms = []
+        for i in range(args.reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(compiled(models, states, xs + 1e-6 * (i + 1)))
+            rep_ms.append((time.perf_counter() - t0) * 1e3)
+        score_ms = float(np.mean(rep_ms))  # one fleet step
+        key = repr(sorted(overrides.items()))
+    else:
+        raise SystemExit(f"unknown target {args.target}")
+
+    aot.save(args.cand_name, compiled, key=key)
+    print(json.dumps({"cand": args.cand_name, "score_ms": round(score_ms, 3),
+                      "compile_s": round(compile_s, 1)}), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", choices=["flagship", "fleet"], required=True)
+    ap.add_argument("--n", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--fleet", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--budget-s", type=float, default=2400,
+                    help="wall budget per candidate subprocess")
+    # child-mode internals
+    ap.add_argument("--candidate", action="store_true")
+    ap.add_argument("--cand-name", default=None)
+    ap.add_argument("--cache-dir", default=None)
+    args = ap.parse_args()
+
+    if args.candidate:
+        run_candidate(args)
+        return
+
+    from mpc_ilqr_tpu.utils import aot
+
+    final = {"flagship": "bench_flagship",
+             "fleet": f"suite_fleet{args.fleet}_c{min(args.chunk, args.fleet)}"}[args.target]
+    results = []
+    for i in range(args.n):
+        cand = f"{final}__cand{i}"
+        with tempfile.TemporaryDirectory(prefix="warmbest_cache_") as tmp:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--target", args.target, "--candidate",
+                   "--cand-name", cand, "--cache-dir", tmp,
+                   "--reps", str(args.reps),
+                   "--fleet", str(args.fleet), "--chunk", str(args.chunk)]
+            try:
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=args.budget_s, cwd=ROOT)
+            except subprocess.TimeoutExpired:
+                print(f"# cand{i}: timeout {args.budget_s:.0f}s", file=sys.stderr)
+                continue
+        sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
+        if proc.returncode != 0:
+            print(f"# cand{i}: rc={proc.returncode}", file=sys.stderr)
+            continue
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                results.append(json.loads(line))
+                print(f"# cand{i}: {line}", file=sys.stderr)
+
+    if not results:
+        raise SystemExit("no candidate produced an executable")
+    best = min(results, key=lambda r: r["score_ms"])
+    src = os.path.join(aot.AOT_DIR, best["cand"] + ".jaxexec")
+    dst = os.path.join(aot.AOT_DIR, final + ".jaxexec")
+    os.replace(src, dst)
+    for r in results:
+        p = os.path.join(aot.AOT_DIR, r["cand"] + ".jaxexec")
+        if os.path.exists(p):
+            os.remove(p)
+    print(json.dumps({"metric": f"warm_best_{args.target}_score_ms",
+                      "value": best["score_ms"], "unit": "ms",
+                      "kept": final,
+                      "candidates": [r["score_ms"] for r in results]}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
