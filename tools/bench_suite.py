@@ -25,9 +25,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import jax
 
+# Default compile cache; --cache-dir overrides it (e.g. a throwaway tmpdir
+# so each process of a median-of-3 protocol gets an INDEPENDENT remote
+# compile — the compile service is non-deterministic, up to 1.9x spread).
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+    os.environ.get(
+        "BENCH_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+    ),
 )
 
 REFERENCE_MS = 2472.80  # reference avg MPC step (README.md:203)
