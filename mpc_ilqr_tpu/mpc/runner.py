@@ -85,7 +85,8 @@ def setup(app: AppConfig) -> Problem:
     # The kernels are Mosaic (TPU) programs; on CPU/GPU backends plan stays
     # None and the solver falls back to the XLA scan chains transparently.
     if (
-        cfg.rollout_backend == "pallas" or cfg.ls_backend == "pallas"
+        cfg.rollout_backend == "pallas"
+        or cfg.ls_backend in ("pallas", "pallas_batched")
     ) and jax.default_backend() in ("tpu", "axon"):
         assert dtype == jnp.float32, "pallas rollout kernels are float32-only"
         from mpc_ilqr_tpu.ops.quat_step import build_step_plan

@@ -189,3 +189,29 @@ def test_real_gravity_standing_with_substeps():
     z = [x[2] for x in hist["x"]]
     assert min(z) > 1.0
     assert hist["cost"][-1] < 100.0
+
+
+def test_setup_builds_plan_for_pallas_batched_ls(monkeypatch):
+    """runner.setup must build the StepPlan whenever ANY Mosaic kernel is
+    selected — including ls_backend="pallas_batched" ALONE (regression: the
+    gate once checked only "pallas", so with rollout_backend="xla" the
+    batched-alpha kernel silently fell back to the XLA line search)."""
+    from mpc_ilqr_tpu.mpc import runner
+
+    app = load_config(os.path.join(ROOT, "config.yaml"))
+    app.q_ref_path = "data/q_standing.csv"
+    app.v_ref_path = "data/v_standing.csv"
+    app.contact_schedule_path = "data/contact_standing.csv"
+    app.engine["rollout_backend"] = "xla"
+    app.engine["ls_backend"] = "pallas_batched"
+    app.engine["dtype"] = "float32"
+    # The gate keys on the runtime backend (Mosaic programs need a TPU);
+    # pretend we are on one — build_step_plan itself is host-side numpy.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    prob = runner.setup(app)
+    assert prob.plan is not None
+
+    # And on a CPU backend the plan must stay None (kernels can't lower).
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    prob_cpu = runner.setup(app)
+    assert prob_cpu.plan is None
