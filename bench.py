@@ -204,6 +204,12 @@ def _wait_for_tpu(max_wait_s: float) -> bool:
 EXTRAS = [
     ("walking", ["--config", "walking", "--steps", "15", "--aot"]),
     ("long_horizon", ["--config", "long_horizon", "--lh-tuned", "--aot"]),
+    # The 100 Hz deployment answer: 1 warm iteration per solve, TV-LQR
+    # tracking on the off steps (equal final cost to the 2-it loop;
+    # 16.2 ms/step measured r4 vs 33.2 for the every-step loop).
+    ("long_horizon_amortized",
+     ["--config", "long_horizon", "--lh-tuned", "--lh-iters", "1",
+      "--lh-solve-every", "2", "--aot"]),
     ("linesearch", ["--config", "linesearch", "--aot"]),
     ("fleet", ["--config", "fleet", "--fleet", "1024", "--chunk", "128",
                "--fleet-linevery", "2", "--aot"]),

@@ -129,6 +129,8 @@ def _ls_overrides(args):
         ov["linearization"] = args.lin
     if getattr(args, "quad", None):
         ov["quad_mode"] = args.quad
+    if getattr(args, "linevery", None):
+        ov["linearize_every"] = args.linevery
     return ov
 
 
@@ -140,6 +142,8 @@ def _numerics_tag(args):
         tag += f"_lin_{args.lin}"
     if getattr(args, "quad", None):
         tag += f"_quad_{args.quad}"
+    if getattr(args, "linevery", None):
+        tag += f"_linevery_{args.linevery}"
     return tag
 
 
@@ -474,6 +478,10 @@ def main():
                     help="override ILQRConfig.ls_backend for standing/"
                     "walking/long_horizon (pallas_batched = all alphas in "
                     "one kernel program, ops/quat_step_batch.py)")
+    ap.add_argument("--linevery", type=int, default=None,
+                    help="override ILQRConfig.linearize_every for standing/"
+                    "walking/long_horizon (stale-A/B re-use: linearize on "
+                    "every k-th iteration; the fleet's biggest lever)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--aot", action="store_true",
                     help="use artifacts/aot/ pre-compiled executables when "

@@ -39,16 +39,17 @@ N_STEPS = 15  # bench.py's standing run length
 def _fleet_overrides(args):
     # Must mirror bench_suite.bench_fleet's overrides/key exactly — the
     # artifact is only useful if bench.py's fleet extra finds it under the
-    # same (name, key).
+    # same (name, key). The tunable knobs are CLI flags so a probe winner
+    # (e.g. attempts=1) can be median-protocolled without editing code.
     return dict(
         max_iterations=2,
         line_search="first_accept",
         alphas=(1.0, 0.6, 0.2, 0.05),
         rollout_solver="masked",
-        inner_attempts=2,
-        linearize_every=2,
-        lin_chunk=0,
-        hess_chunk=0,
+        inner_attempts=args.attempts,
+        linearize_every=args.linevery,
+        lin_chunk=args.linchunk,
+        hess_chunk=args.hesschunk,
     )
 
 
@@ -138,6 +139,11 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--budget-s", type=float, default=2400,
                     help="wall budget per candidate subprocess")
+    # fleet solver knobs (must match the bench_suite flags the driver uses)
+    ap.add_argument("--attempts", type=int, default=2)
+    ap.add_argument("--linevery", type=int, default=2)
+    ap.add_argument("--linchunk", type=int, default=0)
+    ap.add_argument("--hesschunk", type=int, default=0)
     # child-mode internals
     ap.add_argument("--candidate", action="store_true")
     ap.add_argument("--cand-name", default=None)
@@ -160,7 +166,11 @@ def main() -> None:
                    "--target", args.target, "--candidate",
                    "--cand-name", cand, "--cache-dir", tmp,
                    "--reps", str(args.reps),
-                   "--fleet", str(args.fleet), "--chunk", str(args.chunk)]
+                   "--fleet", str(args.fleet), "--chunk", str(args.chunk),
+                   "--attempts", str(args.attempts),
+                   "--linevery", str(args.linevery),
+                   "--linchunk", str(args.linchunk),
+                   "--hesschunk", str(args.hesschunk)]
             try:
                 proc = subprocess.run(cmd, capture_output=True, text=True,
                                       timeout=args.budget_s, cwd=ROOT)
