@@ -54,11 +54,13 @@ def _fleet_overrides(args):
 
 
 def run_candidate(args) -> None:
-    """Child: compile the target graph cold, time it, save the artifact."""
+    """Child: compile the target graph cold (or load the existing artifact
+    when --existing), time it, save/keep the artifact."""
     import jax
 
-    # Throwaway compile cache: every candidate is a REAL recompile.
-    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+    if args.cache_dir:
+        # Throwaway compile cache: every candidate is a REAL recompile.
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
 
     import functools
 
@@ -82,10 +84,17 @@ def run_candidate(args) -> None:
         state = controller.init_state(model, cfg)
         fn = functools.partial(controller.run_closed_loop, model, cp, cfg,
                                plan=prob.plan)
-        jitted = jax.jit(fn, static_argnames=("n_steps",))
-        t0 = time.perf_counter()
-        compiled = jitted.lower(refs, state, x, n_steps=N_STEPS).compile()
-        compile_s = time.perf_counter() - t0
+        key = ""
+        if args.existing:
+            compiled = aot.load(args.cand_name, key=key)
+            if compiled is None:
+                raise SystemExit("no valid existing artifact to score")
+            compile_s = 0.0
+        else:
+            jitted = jax.jit(fn, static_argnames=("n_steps",))
+            t0 = time.perf_counter()
+            compiled = jitted.lower(refs, state, x, n_steps=N_STEPS).compile()
+            compile_s = time.perf_counter() - t0
         jax.block_until_ready(compiled(refs, state, x))
         rep_ms = []
         for i in range(args.reps):
@@ -94,7 +103,6 @@ def run_candidate(args) -> None:
             jax.block_until_ready(compiled(refs, state, x_i))
             rep_ms.append((time.perf_counter() - t0) * 1e3)
         score_ms = float(np.mean(rep_ms)) / N_STEPS
-        key = ""
     elif args.target == "fleet":
         import dataclasses
 
@@ -111,9 +119,16 @@ def run_candidate(args) -> None:
         chunk = min(args.chunk, n)
         fn = lambda m, s, x: fleet_mod.fleet_step_chunked(  # noqa: E731
             m, cp, cfg, refs, s, x, chunk)
-        t0 = time.perf_counter()
-        compiled = jax.jit(fn).lower(models, states, xs).compile()
-        compile_s = time.perf_counter() - t0
+        key = repr(sorted(overrides.items()))
+        if args.existing:
+            compiled = aot.load(args.cand_name, key=key)
+            if compiled is None:
+                raise SystemExit("no valid existing artifact to score")
+            compile_s = 0.0
+        else:
+            t0 = time.perf_counter()
+            compiled = jax.jit(fn).lower(models, states, xs).compile()
+            compile_s = time.perf_counter() - t0
         jax.block_until_ready(compiled(models, states, xs))
         rep_ms = []
         for i in range(args.reps):
@@ -121,13 +136,14 @@ def run_candidate(args) -> None:
             jax.block_until_ready(compiled(models, states, xs + 1e-6 * (i + 1)))
             rep_ms.append((time.perf_counter() - t0) * 1e3)
         score_ms = float(np.mean(rep_ms))  # one fleet step
-        key = repr(sorted(overrides.items()))
     else:
         raise SystemExit(f"unknown target {args.target}")
 
-    aot.save(args.cand_name, compiled, key=key)
+    if not args.existing:
+        aot.save(args.cand_name, compiled, key=key)
     print(json.dumps({"cand": args.cand_name, "score_ms": round(score_ms, 3),
-                      "compile_s": round(compile_s, 1)}), flush=True)
+                      "compile_s": round(compile_s, 1),
+                      "existing": bool(args.existing)}), flush=True)
 
 
 def main() -> None:
@@ -144,10 +160,14 @@ def main() -> None:
     ap.add_argument("--linevery", type=int, default=2)
     ap.add_argument("--linchunk", type=int, default=0)
     ap.add_argument("--hesschunk", type=int, default=0)
+    ap.add_argument("--include-existing", action="store_true",
+                    help="score the CURRENT artifact as a candidate too, so "
+                         "a re-lottery can only improve on it, never regress")
     # child-mode internals
     ap.add_argument("--candidate", action="store_true")
     ap.add_argument("--cand-name", default=None)
     ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--existing", action="store_true")
     args = ap.parse_args()
 
     if args.candidate:
@@ -159,6 +179,25 @@ def main() -> None:
     final = {"flagship": "bench_flagship",
              "fleet": f"suite_fleet{args.fleet}_c{min(args.chunk, args.fleet)}"}[args.target]
     results = []
+    if args.include_existing:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--target", args.target, "--candidate", "--existing",
+               "--cand-name", final, "--reps", str(args.reps),
+               "--fleet", str(args.fleet), "--chunk", str(args.chunk),
+               "--attempts", str(args.attempts),
+               "--linevery", str(args.linevery),
+               "--linchunk", str(args.linchunk),
+               "--hesschunk", str(args.hesschunk)]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=args.budget_s, cwd=ROOT)
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    results.append(json.loads(line))
+                    print(f"# existing: {line}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print("# existing: timeout — scored as absent", file=sys.stderr)
     for i in range(args.n):
         cand = f"{final}__cand{i}"
         with tempfile.TemporaryDirectory(prefix="warmbest_cache_") as tmp:
@@ -192,8 +231,11 @@ def main() -> None:
     best = min(results, key=lambda r: r["score_ms"])
     src = os.path.join(aot.AOT_DIR, best["cand"] + ".jaxexec")
     dst = os.path.join(aot.AOT_DIR, final + ".jaxexec")
-    os.replace(src, dst)
+    if src != dst:  # "existing" candidate already IS the final artifact
+        os.replace(src, dst)
     for r in results:
+        if r["cand"] == final:
+            continue
         p = os.path.join(aot.AOT_DIR, r["cand"] + ".jaxexec")
         if os.path.exists(p):
             os.remove(p)
