@@ -215,3 +215,33 @@ def test_setup_builds_plan_for_pallas_batched_ls(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     prob_cpu = runner.setup(app)
     assert prob_cpu.plan is None
+
+
+def test_tvlqr_amortized_loop_matches_closed_loop_semantics(prob):
+    """The bench-suite amortized 100 Hz loop (solve every k-th step, TV-LQR
+    gains in between — the reference's MPC::computeTVLQRControl mechanism,
+    mpc.cpp:168-179) is a driver metric path (bench.py long_horizon_amortized):
+    pin that it runs a REAL closed loop — solves succeed, t_idx stays
+    time-aligned across the skip steps, and the plant stays upright."""
+    import sys
+    import types
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from bench_suite import _tvlqr_amortized_loop
+
+    model, cp, cfg, refs, _ = prob
+    p = types.SimpleNamespace(model=model, cp=cp, cfg=cfg, refs=refs, plan=None)
+    run = _tvlqr_amortized_loop(p, solve_every=2)
+
+    x0 = standing_state(model)
+    state0 = controller.init_state(model, cfg)
+    state, xT, hist = jax.jit(functools.partial(run, n_steps=6))(refs, state0, x0)
+
+    assert np.asarray(hist["solve_ok"]).all()
+    assert np.isfinite(np.asarray(xT)).all()
+    # 6 control steps = 3 solve cycles; skip steps advance t_idx too.
+    assert hist["cost"].shape == (3,)
+    assert int(state.t_idx) == 6
+    assert 1.0 < float(xT[2]) < 1.1
+    # quality: the amortized loop keeps improving, not diverging
+    assert float(hist["cost"][-1]) < float(hist["cost"][0])
