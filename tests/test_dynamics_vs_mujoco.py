@@ -137,14 +137,21 @@ def test_gravity_comp_standing(mj, model):
 def test_contact_free_step_matches_mujoco(mj, model):
     """With the robot in the air, our Euler step must track mj_step closely."""
     m, d = mj
-    q = random_qpos(m)
-    q[2] = 3.0  # well above the floor: no contacts
-    v = RNG.normal(0, 0.3, m.nv)
-    d.qpos[:] = q
-    d.qvel[:] = v
-    d.ctrl[:] = RNG.normal(0, 5.0, m.nu)
-    mujoco.mj_forward(m, d)
-    assert d.ncon == 0
+    # Floor contact is excluded by height, but a random joint draw can still
+    # SELF-collide (legs crossed etc. — observed ncon=3 at z=3.0, r5 cold
+    # run); redraw until MuJoCo reports a genuinely contact-free pose, which
+    # is the precondition this test needs, not a property it checks.
+    for _ in range(50):
+        q = random_qpos(m)
+        q[2] = 3.0  # well above the floor: no floor contacts
+        v = RNG.normal(0, 0.3, m.nv)
+        d.qpos[:] = q
+        d.qvel[:] = v
+        d.ctrl[:] = RNG.normal(0, 5.0, m.nu)
+        mujoco.mj_forward(m, d)
+        if d.ncon == 0:
+            break
+    assert d.ncon == 0, "no contact-free pose in 50 draws — model anomaly"
     x = jnp.concatenate([jnp.asarray(q), jnp.asarray(v)])
     u = jnp.asarray(d.ctrl)
     x_next = engine.step(model, x, u)

@@ -85,15 +85,18 @@ def run_candidate(args) -> None:
         fn = functools.partial(controller.run_closed_loop, model, cp, cfg,
                                plan=prob.plan)
         key = ""
+        # Per-graph artifact fingerprint: lower (cheap) to get the digest the
+        # artifact must be saved/loaded under (utils/aot.py format v2).
+        lowered, graph = aot.lower(fn, (refs, state, x),
+                                   static_argnames=("n_steps",), n_steps=N_STEPS)
         if args.existing:
-            compiled = aot.load(args.cand_name, key=key)
+            compiled = aot.load(args.cand_name, key=key, graph=graph)
             if compiled is None:
                 raise SystemExit("no valid existing artifact to score")
             compile_s = 0.0
         else:
-            jitted = jax.jit(fn, static_argnames=("n_steps",))
             t0 = time.perf_counter()
-            compiled = jitted.lower(refs, state, x, n_steps=N_STEPS).compile()
+            compiled = lowered.compile()
             compile_s = time.perf_counter() - t0
         jax.block_until_ready(compiled(refs, state, x))
         rep_ms = []
@@ -120,14 +123,15 @@ def run_candidate(args) -> None:
         fn = lambda m, s, x: fleet_mod.fleet_step_chunked(  # noqa: E731
             m, cp, cfg, refs, s, x, chunk)
         key = repr(sorted(overrides.items()))
+        lowered, graph = aot.lower(fn, (models, states, xs))
         if args.existing:
-            compiled = aot.load(args.cand_name, key=key)
+            compiled = aot.load(args.cand_name, key=key, graph=graph)
             if compiled is None:
                 raise SystemExit("no valid existing artifact to score")
             compile_s = 0.0
         else:
             t0 = time.perf_counter()
-            compiled = jax.jit(fn).lower(models, states, xs).compile()
+            compiled = lowered.compile()
             compile_s = time.perf_counter() - t0
         jax.block_until_ready(compiled(models, states, xs))
         rep_ms = []
@@ -140,7 +144,7 @@ def run_candidate(args) -> None:
         raise SystemExit(f"unknown target {args.target}")
 
     if not args.existing:
-        aot.save(args.cand_name, compiled, key=key)
+        aot.save(args.cand_name, compiled, key=key, graph=graph)
     print(json.dumps({"cand": args.cand_name, "score_ms": round(score_ms, 3),
                       "compile_s": round(compile_s, 1),
                       "existing": bool(args.existing)}), flush=True)
