@@ -103,12 +103,17 @@ def run_inner(name: str) -> None:
     # + plant fused in one program), averaged per MPC step — the same
     # quantity as the reference's avg MPC_stepOnce (README.md:203), without
     # a host round-trip per step. Each rep perturbs x0 by a physically
-    # irrelevant epsilon: the remote execution layer dedupes byte-identical
-    # repeat invocations, which would otherwise fake ~0 ms timings.
+    # irrelevant epsilon SALTED with per-process randomness: the remote
+    # execution layer dedupes byte-identical invocations — and its cache
+    # outlives the process, so a deterministic 1e-6*(i+1) perturbation
+    # replays a PREVIOUS run's results at ~0 ms (observed: an N=100 config
+    # "timing" 0.21 ms/step after an earlier session ran the same graph on
+    # the same inputs).
+    salt = float(np.random.default_rng().uniform(0.5, 1.5)) * 1e-6
     reps = 3
     rep_ms = []
     for i in range(reps):
-        x_i = x.at[2].add(1e-6 * (i + 1))
+        x_i = x.at[2].add(salt * (i + 1))
         t0 = time.perf_counter()
         state_f, x_f, hist = jax.block_until_ready(run(refs, state, x_i, n_steps=N_STEPS))
         rep_ms.append((time.perf_counter() - t0) * 1e3)

@@ -8,17 +8,27 @@ to a single versioned artifact under ``artifacts/aot/``. A cold
 ``python bench.py`` deserializes the executable in seconds and skips the
 2-25 min remote Mosaic/XLA compile entirely.
 
-Staleness safety (per-graph, VERDICT r4 missing 2): every artifact embeds a
-fingerprint of (jax version, device kind, sha256 of the *lowered StableHLO*
-of the exact graph being requested, plus a caller-supplied key for
-per-config overrides). Lowering is cheap (seconds of tracing — no compile),
-and the HLO text captures everything semantic: source changes on the traced
-path, config constants baked into the graph, shapes, dtypes. Commits that
-do not change the graph no longer invalidate the artifact (the r4 failure
-mode: an all-package-sources digest meant ANY commit between warm and bench
-cold-compiled every config, and the compile tax evicted the fleet/linesearch
-extras from BENCH_r04). A stale artifact costs one cold compile but can
-never silently run old semantics.
+Staleness fingerprint — why format v3 matches on SOURCES, not lowered HLO
+(the v2 design): every artifact embeds (jax version, device platform/kind/
+count, a sha256 over the graph-shaping sources — the package, config.yaml,
+and the bench entry points that close over graph structure — plus the arg
+pytree spec/shapes/dtypes/static kwargs and a caller key). v2 fingerprinted
+the lowered StableHLO of the exact graph instead, which is the tighter
+check on paper but FAILED on this infrastructure: the model/cost pytrees
+baked into the graph as constants are partly computed by eager jnp ops at
+setup time, those execute through the remote TPU service, and the service's
+op-executable cache drifts over hours — the same setup code yields
+constants differing by ULPs, the StableHLO text changes, and every artifact
+goes stale between warm and bench (observed live: four distinct digests of
+an unchanged program across one morning; the r4 driver bench cold-compiled
+every config for the same reason at 94-170 s each and dropped two metrics).
+Source-level matching is immune to that drift, still invalidates on any
+code/config change that could alter a graph, and needs NO lowering on the
+hit path (~40-90 s saved per config). The residual contract is the caller's:
+an artifact NAME identifies one graph family (bench.py / bench_suite.py
+derive names from the config + numerics tags, and pass per-config overrides
+through ``key``). The lowered-HLO digest is still recorded in the artifact
+for forensics when available.
 
 Artifacts are committed to git (``artifacts/aot/*.jaxexec``) so a fresh
 driver checkout loads warm — the TPU executable format is stable for a
@@ -39,21 +49,69 @@ import jax
 ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 AOT_DIR = os.path.join(ROOT, "artifacts", "aot")
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
+
+# Files whose content can shape a benchmark graph: the package itself,
+# the config constants baked in at trace time, and the entry points whose
+# closures define the traced functions (run_fn closures in bench_suite).
+_SOURCE_GLOBS = ("mpc_ilqr_tpu", "config.yaml", "bench.py",
+                 os.path.join("tools", "bench_suite.py"),
+                 os.path.join("tools", "warm_best.py"))
+
+_source_digest_cache: str | None = None
+
+
+def source_digest() -> str:
+    """sha256 over every graph-shaping source file (path + content)."""
+    global _source_digest_cache
+    if _source_digest_cache is not None:
+        return _source_digest_cache
+    h = hashlib.sha256()
+    paths = []
+    for entry in _SOURCE_GLOBS:
+        full = os.path.join(ROOT, entry)
+        if os.path.isdir(full):
+            for dirpath, _, names in os.walk(full):
+                for n in names:
+                    if n.endswith(".py"):
+                        paths.append(os.path.join(dirpath, n))
+        elif os.path.exists(full):
+            paths.append(full)
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, ROOT).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    _source_digest_cache = h.hexdigest()
+    return _source_digest_cache
+
+
+def args_spec(example_args: tuple, static_kwargs: dict | None = None) -> str:
+    """Digest of the arg pytree structure + leaf shapes/dtypes + statics.
+
+    Catches every staleness mode the source digest cannot: reference CSVs
+    with different row counts, horizon/fleet-size changes passed as shapes,
+    and static kwargs (n_steps) baked into the lowering.
+    """
+    leaves, treedef = jax.tree.flatten(example_args)
+    parts = [str(treedef)]
+    for leaf in leaves:
+        shape = getattr(leaf, "shape", None)
+        dtype = getattr(leaf, "dtype", None)
+        if shape is None:
+            parts.append(f"py:{type(leaf).__name__}:{leaf!r}")
+        else:
+            parts.append(f"{tuple(shape)}:{dtype}")
+    parts.append(repr(sorted((static_kwargs or {}).items())))
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()
 
 
 def graph_digest(lowered) -> str:
-    """sha256 over the lowered StableHLO of one jitted graph.
-
-    ``jax.jit(fn).lower(*args)`` traces but does not compile; its ``as_text()``
-    is deterministic for an unchanged program (no source-location metadata at
-    the default debug level), so this digest identifies the graph itself
-    rather than the package that produced it.
-    """
+    """sha256 over the lowered StableHLO (recorded for forensics only —
+    see the module docstring for why it is not the match criterion)."""
     return hashlib.sha256(lowered.as_text().encode()).hexdigest()
 
 
-def fingerprint(key: str = "", graph: str = "") -> dict:
+def fingerprint(key: str = "", args: str = "") -> dict:
     dev = jax.devices()[0]
     return {
         "format": _FORMAT_VERSION,
@@ -61,7 +119,8 @@ def fingerprint(key: str = "", graph: str = "") -> dict:
         "platform": dev.platform,
         "device_kind": dev.device_kind,
         "n_devices": jax.device_count(),
-        "graph": graph,
+        "sources": source_digest(),
+        "args": args,
         "key": key,
     }
 
@@ -70,18 +129,15 @@ def _path(name: str) -> str:
     return os.path.join(AOT_DIR, f"{name}.jaxexec")
 
 
-def save(name: str, compiled, key: str = "", graph: str = "") -> str:
-    """Serialize a ``jax.stages.Compiled`` to artifacts/aot/<name>.jaxexec.
-
-    ``graph`` should be ``graph_digest(lowered)`` of the graph that produced
-    ``compiled`` — callers that cannot supply it may pass "" (the artifact
-    then only pins jax/device/key, not the program)."""
+def save(name: str, compiled, key: str = "", args: str = "", graph: str = "") -> str:
+    """Serialize a ``jax.stages.Compiled`` to artifacts/aot/<name>.jaxexec."""
     from jax.experimental import serialize_executable as se
 
     os.makedirs(AOT_DIR, exist_ok=True)
     payload, in_tree, out_tree = se.serialize(compiled)
     blob = pickle.dumps(
-        {"fingerprint": fingerprint(key, graph), "exec": (payload, in_tree, out_tree)}
+        {"fingerprint": fingerprint(key, args), "graph": graph,
+         "exec": (payload, in_tree, out_tree)}
     )
     path = _path(name)
     with open(path + ".tmp", "wb") as f:
@@ -90,7 +146,7 @@ def save(name: str, compiled, key: str = "", graph: str = "") -> str:
     return path
 
 
-def load(name: str, key: str = "", graph: str = ""):
+def load(name: str, key: str = "", args: str = ""):
     """Deserialize a saved executable, or None on miss/stale/any error.
 
     The returned callable takes the SAME concrete args the graph was lowered
@@ -104,7 +160,7 @@ def load(name: str, key: str = "", graph: str = ""):
     try:
         with open(path, "rb") as f:
             data = pickle.loads(zlib.decompress(f.read()))
-        if data["fingerprint"] != fingerprint(key, graph):
+        if data["fingerprint"] != fingerprint(key, args):
             return None
         payload, in_tree, out_tree = data["exec"]
         return se.deserialize_and_load(payload, in_tree, out_tree)
@@ -124,24 +180,22 @@ def jit_or_aot(name: str, fn, example_args: tuple, key: str = "",
     """Load the AOT executable for `name`, else compile fn and persist it.
 
     Returns (callable, used_aot: bool, compile_s: float). The callable takes
-    the dynamic args only (static kwargs are baked in at lowering). The
-    artifact match is per-graph: fn is lowered (cheap) and the StableHLO
-    digest must equal the one the artifact was saved under.
+    the dynamic args only (static kwargs are baked in at lowering). The hit
+    path never traces or lowers fn — deserialization takes seconds.
     """
     import time
 
     t0 = time.perf_counter()
-    lowered, graph = lower(fn, example_args, static_argnames, **static_kwargs)
-    lower_s = time.perf_counter() - t0
-    loaded = load(name, key, graph=graph)
+    spec = args_spec(example_args, static_kwargs)
+    loaded = load(name, key, args=spec)
     if loaded is not None:
-        return (lambda *a: loaded(*a)), True, lower_s
-    t0 = time.perf_counter()
+        return (lambda *a: loaded(*a)), True, time.perf_counter() - t0
+    lowered, graph = lower(fn, example_args, static_argnames, **static_kwargs)
     compiled = lowered.compile()
-    compile_s = lower_s + (time.perf_counter() - t0)
+    compile_s = time.perf_counter() - t0
     if refresh:
         try:
-            save(name, compiled, key, graph=graph)
+            save(name, compiled, key, args=spec, graph=graph)
         except Exception:  # noqa: BLE001 — persistence is best-effort
             pass
     return (lambda *a: compiled(*a)), False, compile_s

@@ -2,9 +2,11 @@
 
 Replaces the committed-.jax_cache ritual (VERDICT r3 weak 4): compiled
 executables are serialized to versioned artifacts with a staleness
-fingerprint. These tests pin the round-trip, the fingerprint invalidation,
-and the jit_or_aot cold->warm flow on the CPU backend (the TPU half is
-exercised by bench.py on hardware).
+fingerprint. These tests pin the round-trip, the fingerprint invalidation
+modes (format v3: source digest + arg spec + key — NOT the lowered HLO,
+which proved nondeterministic on the remote-TPU infrastructure; see the
+module docstring), and the jit_or_aot cold->warm flow on the CPU backend
+(the TPU half is exercised by bench.py on hardware).
 """
 import os
 import subprocess
@@ -37,9 +39,10 @@ def fn(d):
     return {{"y": d["a"] @ d["b"] + jnp.sin(d["a"])}}
 
 args = ({{"a": jnp.ones((6, 6)), "b": jnp.eye(6)}},)
+spec = aot.args_spec(args, {{}})
 compiled = jax.jit(fn).lower(*args).compile()
-aot.save("rt", compiled)
-loaded = aot.load("rt")
+aot.save("rt", compiled, args=spec)
+loaded = aot.load("rt", args=spec)
 assert loaded is not None, "fingerprint-valid artifact failed to load"
 assert jnp.allclose(loaded(*args)["y"], fn(*args)["y"])
 
@@ -58,6 +61,10 @@ assert not u1 and jnp.allclose(r1(jnp.ones(5)), 3.0)
 r2, u2, _ = aot.jit_or_aot("st", g, (jnp.ones(5),),
                            static_argnames=("n_steps",), n_steps=3)
 assert u2 and jnp.allclose(r2(jnp.ones(5)), 3.0)
+# A different static kwarg is a different graph: must MISS and recompile.
+r3, u3, _ = aot.jit_or_aot("st", g, (jnp.ones(5),),
+                           static_argnames=("n_steps",), n_steps=4)
+assert not u3 and jnp.allclose(r3(jnp.ones(5)), 4.0)
 print("ROUNDTRIP_OK")
 """
 
@@ -89,24 +96,35 @@ def test_fingerprint_key_mismatch_invalidates(tmp_aot_dir):
     assert aot.load("keyed", key="cfgB") is None
 
 
-def test_graph_change_invalidates(tmp_aot_dir):
-    # Format v2: the artifact pins the lowered-StableHLO digest of the exact
-    # graph; a different program (different digest) must miss, an unrelated
-    # package-source change must NOT (the r4 failure mode).
+def test_args_spec_mismatch_invalidates(tmp_aot_dir):
+    # Format v3: a shape/dtype/static change is a different graph — miss.
     args = (jnp.ones((4,)),)
-    lowered, graph = aot.lower(jnp.cumsum, args)
-    aot.save("src", lowered.compile(), graph=graph)
-    assert aot.load("src", graph=graph) is not None
-    _, other = aot.lower(jnp.cumprod, args)
-    assert other != graph
-    assert aot.load("src", graph=other) is None
+    spec = aot.args_spec(args, {})
+    compiled = jax.jit(jnp.cumsum).lower(*args).compile()
+    aot.save("spec", compiled, args=spec)
+    assert aot.load("spec", args=spec) is not None
+    other = aot.args_spec((jnp.ones((5,)),), {})
+    assert other != spec
+    assert aot.load("spec", args=other) is None
+    withstatic = aot.args_spec(args, {"n_steps": 7})
+    assert withstatic != spec
+    assert aot.load("spec", args=withstatic) is None
 
 
-def test_graph_digest_stable_across_lowerings(tmp_aot_dir):
-    args = (jnp.ones((4,)),)
-    _, g1 = aot.lower(jnp.cumsum, args)
-    _, g2 = aot.lower(jnp.cumsum, args)
-    assert g1 == g2
+def test_args_spec_distinguishes_tree_structure():
+    a = aot.args_spec(({"x": jnp.ones(3)},), {})
+    b = aot.args_spec((jnp.ones(3),), {})
+    c = aot.args_spec(({"x": jnp.ones(3, jnp.int32)},), {})
+    assert len({a, b, c}) == 3
+
+
+def test_source_digest_stable_and_covers_config():
+    d1 = aot.source_digest()
+    d2 = aot.source_digest()
+    assert d1 == d2 and len(d1) == 64
+    # config.yaml is part of the digest set (constants are baked into
+    # traced graphs at setup time).
+    assert any("config.yaml" in g for g in aot._SOURCE_GLOBS)
 
 
 def test_corrupt_artifact_returns_none(tmp_aot_dir):
@@ -119,8 +137,9 @@ def test_corrupt_artifact_returns_none(tmp_aot_dir):
 
 
 def test_fingerprint_fields():
-    fp = aot.fingerprint(key="k", graph="g" * 64)
+    fp = aot.fingerprint(key="k", args="a" * 64)
     assert fp["key"] == "k"
     assert fp["jax"] == jax.__version__
-    assert fp["graph"] == "g" * 64
-    assert "sources" not in fp  # v2: per-graph digest, not package-wide
+    assert fp["args"] == "a" * 64
+    assert fp["sources"] == aot.source_digest()
+    assert fp["format"] == 3

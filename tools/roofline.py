@@ -47,15 +47,21 @@ PEAK_F32_FLOPS = PEAK_BF16_FLOPS / 6.0  # Precision.HIGHEST = bf16x3 passes
 PEAK_HBM_BPS = 819e9       # TPU v5e HBM bandwidth
 
 
-def _cost_analysis(fn, *args):
-    """XLA's flop/byte estimate for one call of fn(*args); None on failure."""
+def _cost_analysis(compiled, reps):
+    """XLA's flop/byte estimate for ONE stage call, extracted from the
+    already-compiled timing loop (reps iterations of the stage inside one
+    lax.scan) and divided by reps. Reusing the timing executable instead of
+    compiling the bare stage separately HALVES the number of remote compiles
+    — each costs 2-12 min through the compile service and is NOT served by
+    the local .jax_cache (measured: a full 13-compile run blew a 40-min
+    budget twice). The scan bookkeeping adds O(reps) scalar flops — noise
+    against the stage body. None on failure."""
     try:
-        comp = jax.jit(fn).lower(*args).compile()
-        ca = comp.cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, list):  # older jax returns [dict]
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        bytes_ = float(ca.get("bytes accessed", 0.0))
+        flops = float(ca.get("flops", 0.0)) / reps
+        bytes_ = float(ca.get("bytes accessed", 0.0)) / reps
         return flops, bytes_
     except Exception as e:  # noqa: BLE001
         print(f"# cost_analysis failed: {e}", file=sys.stderr)
@@ -70,6 +76,11 @@ def main():
                     choices=["standing", "long_horizon"])
     ap.add_argument("--lin", default=None)
     ap.add_argument("--quad", default=None)
+    ap.add_argument("--stages", default=None,
+                    help="comma list of stages to run (default: all except "
+                         "'solve' — the whole-solve wall number already "
+                         "lands in BENCH/PERF and its fused graph is the "
+                         "most expensive remote compile by far)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -137,27 +148,68 @@ def main():
             return acc
         return run
 
+    # Per-process random seed salt: the remote execution layer's dedupe
+    # cache outlives the process, so deterministic seeds could replay an
+    # earlier run's results at ~0 ms. The seed is a traced argument — the
+    # salt changes only its value, not the graph (AOT/cache digests stable).
+    salt = float(np.random.default_rng().uniform(0.0, 1.0))
+
     # Dispatch floor: an empty reploop, same call shape.
     floor_run = reploop(lambda e: e)
-    jax.block_until_ready(floor_run(jnp.asarray(0.0, x0.dtype)))
+    jax.block_until_ready(floor_run(jnp.asarray(salt, x0.dtype)))
     ts = []
     for r in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(floor_run(jnp.asarray(float(r + 1), x0.dtype)))
+        jax.block_until_ready(floor_run(jnp.asarray(float(r + 1) + salt, x0.dtype)))
         ts.append(time.perf_counter() - t0)
     floor_s = min(ts)
 
+    wanted = (args.stages.split(",") if args.stages
+              else [s for s in STAGES if s != "solve"])
+
+    # Incremental artifact writes: a budget timeout still leaves every
+    # completed stage's row on disk (the all-or-nothing version lost two
+    # full 40-min runs to compile-budget overruns).
+    outdir = os.path.join(ROOT, "docs", "artifacts")
+    os.makedirs(outdir, exist_ok=True)
+    tagged = f"roofline_{args.config}" + (f"_lin_{args.lin}" if args.lin else "") \
+        + (f"_quad_{args.quad}" if args.quad else "")
+    outpath = os.path.join(outdir, f"{tagged}.json")
+
     rows = []
-    for name, fn in STAGES.items():
-        run = reploop(fn)
-        jax.block_until_ready(run(jnp.asarray(0.0, x0.dtype)))
+
+    def _write():
+        out = {
+            "config": args.config,
+            "N": int(cfg.N),
+            "lin": cfg.linearization,
+            "quad": cfg.quad_mode,
+            "device": str(jax.devices()[0]),
+            "dispatch_floor_ms": round(floor_s * 1e3, 2),
+            "reps": REPS,
+            "peaks": {"f32_tflops": PEAK_F32_FLOPS / 1e12,
+                      "bf16_tflops": PEAK_BF16_FLOPS / 1e12,
+                      "hbm_gb_s": PEAK_HBM_BPS / 1e9},
+            "stages": rows,
+        }
+        with open(outpath, "w") as f:
+            json.dump(out, f, indent=2)
+
+    for name in wanted:
+        fn = STAGES[name]
+        t0 = time.perf_counter()
+        compiled = reploop(fn).lower(jnp.asarray(salt, x0.dtype)).compile()
+        print(f"# {name}: compile {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+        run = compiled
+        jax.block_until_ready(run(jnp.asarray(salt, x0.dtype)))
         ts = []
         for r in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(jnp.asarray(float(r + 1), x0.dtype)))
+            jax.block_until_ready(run(jnp.asarray(float(r + 1) + salt, x0.dtype)))
             ts.append(time.perf_counter() - t0)
         ms = (min(ts) - floor_s) / REPS * 1e3
-        ca = _cost_analysis(fn, jnp.asarray(0.0, x0.dtype))
+        ca = _cost_analysis(compiled, REPS)
         row = {"stage": name, "ms": round(ms, 4)}
         if ca is not None:
             flops, bytes_ = ca
@@ -176,27 +228,8 @@ def main():
                 "bound": "hbm" if t_hbm > t_compute_f32 else "compute",
             })
         rows.append(row)
+        _write()
         print(json.dumps(row), flush=True)
-
-    out = {
-        "config": args.config,
-        "N": int(cfg.N),
-        "lin": cfg.linearization,
-        "quad": cfg.quad_mode,
-        "device": str(jax.devices()[0]),
-        "dispatch_floor_ms": round(floor_s * 1e3, 2),
-        "reps": REPS,
-        "peaks": {"f32_tflops": PEAK_F32_FLOPS / 1e12,
-                  "bf16_tflops": PEAK_BF16_FLOPS / 1e12,
-                  "hbm_gb_s": PEAK_HBM_BPS / 1e9},
-        "stages": rows,
-    }
-    outdir = os.path.join(ROOT, "docs", "artifacts")
-    os.makedirs(outdir, exist_ok=True)
-    tagged = f"roofline_{args.config}" + (f"_lin_{args.lin}" if args.lin else "") \
-        + (f"_quad_{args.quad}" if args.quad else "")
-    with open(os.path.join(outdir, f"{tagged}.json"), "w") as f:
-        json.dump(out, f, indent=2)
 
     # Markdown table for PERF.md.
     print("\n| stage | ms | GFLOP | HBM MB | % f32 peak | % HBM peak | "

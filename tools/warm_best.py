@@ -85,23 +85,29 @@ def run_candidate(args) -> None:
         fn = functools.partial(controller.run_closed_loop, model, cp, cfg,
                                plan=prob.plan)
         key = ""
-        # Per-graph artifact fingerprint: lower (cheap) to get the digest the
-        # artifact must be saved/loaded under (utils/aot.py format v2).
-        lowered, graph = aot.lower(fn, (refs, state, x),
-                                   static_argnames=("n_steps",), n_steps=N_STEPS)
+        # Artifact fingerprint (utils/aot.py format v3): source digest +
+        # arg spec — must mirror bench.py's jit_or_aot call exactly.
+        spec = aot.args_spec((refs, state, x), {"n_steps": N_STEPS})
         if args.existing:
-            compiled = aot.load(args.cand_name, key=key, graph=graph)
+            compiled = aot.load(args.cand_name, key=key, args=spec)
             if compiled is None:
                 raise SystemExit("no valid existing artifact to score")
-            compile_s = 0.0
+            compile_s, graph = 0.0, ""
         else:
             t0 = time.perf_counter()
+            lowered, graph = aot.lower(fn, (refs, state, x),
+                                       static_argnames=("n_steps",),
+                                       n_steps=N_STEPS)
             compiled = lowered.compile()
             compile_s = time.perf_counter() - t0
         jax.block_until_ready(compiled(refs, state, x))
+        # Salted perturbation: the remote execution layer's dedupe cache
+        # outlives the process; deterministic inputs can replay an earlier
+        # run's results at ~0 ms.
+        salt = float(np.random.default_rng().uniform(0.5, 1.5)) * 1e-6
         rep_ms = []
         for i in range(args.reps):
-            x_i = x.at[2].add(1e-6 * (i + 1))
+            x_i = x.at[2].add(salt * (i + 1))
             t0 = time.perf_counter()
             jax.block_until_ready(compiled(refs, state, x_i))
             rep_ms.append((time.perf_counter() - t0) * 1e3)
@@ -123,28 +129,30 @@ def run_candidate(args) -> None:
         fn = lambda m, s, x: fleet_mod.fleet_step_chunked(  # noqa: E731
             m, cp, cfg, refs, s, x, chunk)
         key = repr(sorted(overrides.items()))
-        lowered, graph = aot.lower(fn, (models, states, xs))
+        spec = aot.args_spec((models, states, xs), {})
         if args.existing:
-            compiled = aot.load(args.cand_name, key=key, graph=graph)
+            compiled = aot.load(args.cand_name, key=key, args=spec)
             if compiled is None:
                 raise SystemExit("no valid existing artifact to score")
-            compile_s = 0.0
+            compile_s, graph = 0.0, ""
         else:
             t0 = time.perf_counter()
+            lowered, graph = aot.lower(fn, (models, states, xs))
             compiled = lowered.compile()
             compile_s = time.perf_counter() - t0
         jax.block_until_ready(compiled(models, states, xs))
+        salt = float(np.random.default_rng().uniform(0.5, 1.5)) * 1e-6
         rep_ms = []
         for i in range(args.reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(compiled(models, states, xs + 1e-6 * (i + 1)))
+            jax.block_until_ready(compiled(models, states, xs + salt * (i + 1)))
             rep_ms.append((time.perf_counter() - t0) * 1e3)
         score_ms = float(np.mean(rep_ms))  # one fleet step
     else:
         raise SystemExit(f"unknown target {args.target}")
 
     if not args.existing:
-        aot.save(args.cand_name, compiled, key=key, graph=graph)
+        aot.save(args.cand_name, compiled, key=key, args=spec, graph=graph)
     print(json.dumps({"cand": args.cand_name, "score_ms": round(score_ms, 3),
                       "compile_s": round(compile_s, 1),
                       "existing": bool(args.existing)}), flush=True)
